@@ -1,38 +1,516 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full crawl of the tiny synthetic web +
+hybrid query over the resulting vectors.
+``queries()`` — one entry per implemented operator family
+(SURVEY.md §2 + training-data ops); each takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query (same column names/aliases both sides).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _doc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Crawl the deterministic tiny web end-to-end (frontier rounds →
+    seen-set → extraction), then return the crawled table ordered by
+    priority.  Also smoke-reads sf0.001 documents to pin the driver
+    contract."""
+    from doccrawler_spark.crawl import CrawlConfig, crawl, crawled_all
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    root = tempfile.mkdtemp(prefix="doccrawler_entry_")
+    catalog = crawl(spark, web, seeds, root, CrawlConfig(max_depth=3))
+    out = crawled_all(spark, catalog).orderBy("priority").select(
+        "url", "site_id", "depth", "round", "priority",
+        F.length("text").alias("text_len"),
+    )
+    # touch the driver-provided table too (contract smoke)
+    _ = _doc(spark, "/root/testdata/sf0.001", "documents").limit(1).count()
+    return out
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_crawl_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entry(spark)
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from doccrawler_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_doc(spark, sf_dir, "documents")).orderBy("fingerprint")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from doccrawler_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _doc(spark, sf_dir, "documents"), n=3, threshold=0.6
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from doccrawler_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _doc(spark, sf_dir, "documents"), n=3, k=16, bands=4
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_simhash(spark, sf_dir):
+    from doccrawler_spark.ops.dedup import simhash64
+
+    return simhash64(_doc(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from doccrawler_spark.ops.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _doc(spark, sf_dir, "embeddings"), threshold=0.3
+    ).orderBy("vec_a", "vec_b")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from doccrawler_spark.ops.similarity import cosine_topk
+
+    emb = _doc(spark, sf_dir, "embeddings")
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return cosine_topk(emb, list(qv), k=10)
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from doccrawler_spark.ops.similarity import lsh_topk
+
+    emb = _doc(spark, sf_dir, "embeddings")
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return lsh_topk(emb, list(qv), k=10, n_bits=8)
+
+
+def _q_token_stats(spark, sf_dir):
+    from doccrawler_spark.ops.text import token_stats
+
+    return token_stats(_doc(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_quality(spark, sf_dir):
+    from doccrawler_spark.ops.text import quality_scores
+
+    return quality_scores(_doc(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_lang_id(spark, sf_dir):
+    from doccrawler_spark.ops.text import lang_id
+
+    return lang_id(_doc(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_fingerprint(spark, sf_dir):
+    from doccrawler_spark.ops.text import fingerprints
+
+    return fingerprints(_doc(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_hybrid_topk(spark, sf_dir):
+    """Hybrid dense+sparse retrieval over vectors built from documents
+    (non-SQL-expressible: hash embedder + BM25 fit; rows-only check,
+    full equivalence is covered by tests/test_query.py)."""
+    from doccrawler_spark.pipeline import build_vectors
+    from doccrawler_spark.query import hybrid_query
+
+    docs = _doc(spark, sf_dir, "documents").limit(2000)
+    chunks = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("source").alias("site_id"),
+        F.lit(0).alias("chunk_ix"),
+        F.col("text").alias("chunked_data"),
+        F.struct(
+            F.col("source").alias("sdk_framework_name"),
+            F.col("source").alias("base_url"),
+            F.col("doc_id").cast("string").alias("href"),
+            F.lit("framework").alias("sdk_framework"),
+            F.lit(False).alias("has_code_snippet"),
+            F.lit(None).cast("string").alias("version"),
+            F.array().cast("array<string>").alias("domains"),
+            F.array().cast("array<string>").alias("subdomains"),
+        ).alias("metadata"),
+        F.lit(False).alias("is_summary"),
+    )
+    vectors, stats = build_vectors(spark, chunks, dim=64)
+    return hybrid_query(
+        vectors, "spark shuffle partition join", alpha=0.5, top_k=20, top_n=10,
+        stats=stats, dim=64,
+    ).select("id", "url", "site_id", "score", "rerank_score")
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from doccrawler_spark.ops.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(_doc(spark, sf_dir, "documents"))
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha"
+    ).orderBy("media_id")
+
+
+# relational operator checklist over the TPC-H-ish tables (SURVEY §2.6)
+
+
+def _q_groupby_agg(spark, sf_dir):
+    li = _doc(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_broadcast_join(spark, sf_dir):
+    o = _doc(spark, sf_dir, "orders")
+    c = _doc(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    o = _doc(spark, sf_dir, "orders")
+    li = _doc(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _doc(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_suppkey", "rnk", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_suppkey", "rnk")
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _doc(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_ix", sess)
+        .groupBy("user_id", "session_ix")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_ix")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_tiny_e2e": _q_crawl_tiny,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_neardup": _q_embedding_neardup,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_topk": _q_lsh_topk,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "hybrid_topk": _q_hybrid_topk,
+        "multimodal_features": _q_multimodal_features,
+        "groupby_agg": _q_groupby_agg,
+        "broadcast_join": _q_broadcast_join,
+        "anti_join": _q_anti_join,
+        "topk_per_group": _q_topk_per_group,
+        "sessionize": _q_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+_NORM = "trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"
+_TOKS = f"string_split_regex({_NORM}, ' +')"
+
+_EN = "['the','and','of','to','in','is','that','with','for','on']"
+_ES = "['el','la','de','que','y','los','en','un','por','con']"
+_DE = "['der','die','und','das','ist','von','mit','ein','zu','den']"
+_FR = "['le','la','et','les','des','est','dans','que','pour','une']"
+
+
+def _stop_hits(stop_list: str) -> str:
+    return (
+        f"len(list_intersect(list_distinct({_TOKS}), {stop_list}))"
+    )
+
+
+_SHINGLES = (
+    f"list_distinct(list_transform(range(0, len({_TOKS}) - 2), "
+    f"i -> list_aggregate(list_slice({_TOKS}, i + 1, i + 3), 'string_agg', ' ')))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": f"""
+            SELECT md5({_NORM}) AS fingerprint,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY fingerprint
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+            ORDER BY doc_a, doc_b
+        """,
+        "minhash_lsh": f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(16))}
+              FROM sh GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id,
+                     [{", ".join(f"h{i}" for i in range(16))}] AS sig,
+                     unnest([
+                       {", ".join(
+                           "{'band': %d, 'key': %s}" % (
+                               b, " || '|' || ".join(f"h{b*4+r}" for r in range(4)))
+                           for b in range(4))}
+                     ]) AS bk
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.bk.band = b.bk.band AND a.bk.key = b.bk.key
+               AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(list_zip(sig_a, sig_b),
+                         z -> z[1] = z[2])) / 16.0, 6) AS est_jaccard
+            FROM cand ORDER BY doc_a, doc_b
+        """,
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+              WHERE true
+            ), th AS (
+              SELECT doc_id, tok,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT AS BIGINT) AS h
+              FROM toks WHERE tok <> ''
+            ), votes AS (
+              SELECT doc_id, b.bit,
+                     sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th, (SELECT unnest(range(0, 32)) AS bit) b
+              GROUP BY doc_id, b.bit
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id ORDER BY doc_id
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+            ORDER BY vec_a, vec_b
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+            )
+            SELECT vec_id, label,
+                   round(list_dot_product(embedding::DOUBLE[], qv) /
+                         (sqrt(list_dot_product(qv, qv)) *
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "lsh_topk": """
+            WITH q AS (
+              SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+            ), qkey AS (
+              SELECT qv, list_aggregate(list_transform(list_slice(qv, 1, 8),
+                     x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                     'string_agg', '') AS k
+              FROM q
+            )
+            SELECT vec_id, label,
+                   round(list_dot_product(embedding::DOUBLE[], qv) /
+                         (sqrt(list_dot_product(qv, qv)) *
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings, qkey
+            WHERE list_aggregate(list_transform(list_slice(embedding, 1, 8),
+                  x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                  'string_agg', '') = k
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars_measured,
+                   greatest(len(string_split_regex(trim(text), '\\s+')),
+                            CAST(ceil(length(text) / 4.0) AS INT)) AS n_subwords_est
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     len({_TOKS}) AS n_tok,
+                     {_stop_hits(_EN)} AS stop_hits,
+                     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       * 1.0 / greatest(length(text), 1) AS punct,
+                     least(length(text) / 500.0, 1.0) AS len_score
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(len_score, 6) AS len_score,
+                   round(stop_hits * 1.0 / greatest(n_tok, 1), 6) AS stop_ratio,
+                   round(punct, 6) AS punct_ratio,
+                   round(0.4 * len_score
+                         + 0.4 * least(stop_hits * 5.0 / greatest(n_tok, 1), 1.0)
+                         + 0.2 * (1.0 - least(punct * 4.0, 1.0)), 6) AS quality
+            FROM t ORDER BY doc_id
+        """,
+        "lang_id": f"""
+            WITH v AS (
+              SELECT doc_id, lang AS lang_actual,
+                     {_stop_hits(_EN)} AS en, {_stop_hits(_ES)} AS es,
+                     {_stop_hits(_DE)} AS de, {_stop_hits(_FR)} AS fr
+              FROM documents
+            )
+            SELECT doc_id, lang_actual,
+                   CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                        WHEN en = greatest(en, es, de, fr) THEN 'en'
+                        WHEN es = greatest(en, es, de, fr) THEN 'es'
+                        WHEN de = greatest(en, es, de, fr) THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM v ORDER BY doc_id
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            ORDER BY o_orderkey
+        """,
+        "topk_per_group": """
+            SELECT l_suppkey, rnk, l_orderkey, l_linenumber, l_extendedprice
+            FROM (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                l_linenumber ASC) AS rnk
+              FROM lineitem
+            ) WHERE rnk <= 3 ORDER BY l_suppkey, rnk
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          OR lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_ix
+              FROM g
+            )
+            SELECT user_id, session_ix, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_ix ORDER BY user_id, session_ix
+        """,
+    }

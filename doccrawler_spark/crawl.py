@@ -1,0 +1,434 @@
+"""The distributed crawl loop: URL frontier + fetch scheduler (M2/M3).
+
+Reference semantics reproduced (SURVEY.md §3.4, against /root/reference):
+  * depth: enter at 1, fetch iff depth < MAX_DEPTH
+    (crawler_service.py:46), expand iff depth+1 < MAX_DEPTH (:88);
+  * seen-set: global across sites, add-at-enqueue
+    (crawler_service.py:114-118), seeds pre-added
+    (crawler_usecase.py:132), sitemap URLs never added (:123-127);
+  * sitemap-mode pages fetched but never expanded (crawler_service.py:82);
+  * canonicalization = fragment strip only (helper.py:65-68);
+  * same-domain filter against the CURRENT page's host (:99-101);
+  * per-site filter budget: page-level pre-check then one unit per
+    ≤180-link batch (crawler_service.py:103-112, helper.py:239-248);
+  * the deterministic crawl order is the single-worker FIFO with
+    canonically sorted link expansion (SURVEY.md §3.4.4) — matched
+    here by per-round global sequence numbers over
+    (parent_priority, url).
+
+Spark-first physical design:
+  * fetch = inner equi-join frontier ⋈ web_pages on url (runtime
+    bloom-filter join prunes the scan by frontier keys);
+  * seen-set dedup = left-anti join against per-round url deltas
+    (Iceberg bucket-by-url_hash at cluster scale);
+  * politeness = per-host round quota via salted two-phase top-k
+    (skew-safe for hot hosts), deferred URLs keep their priority;
+  * budget = broadcast dim join + bounded per-site window (only the
+    top `budget` candidate pages per site enter the window);
+  * every round commits atomic snapshots (frontier, seen delta,
+    crawled, budget, metrics) — resumable mid-crawl.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import functions as Fx
+from .shuffle import global_sequence, topk_per_group
+from .snapshots import SnapshotCatalog
+
+FRONTIER_SCHEMA = (
+    "url string, host string, depth int, site_id string, home_url string, "
+    "sitemap_mode boolean, priority long"
+)
+SEEN_SCHEMA = "url string, url_hash long, site_id string, depth int, round int"
+CRAWLED_SCHEMA = (
+    "url string, site_id string, base_url string, text string, depth int, "
+    "round int, priority long"
+)
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 3
+    budget_per_site: int = 50          # MAX_LLM_REQUEST_COUNT (readme.md:86)
+    filter_batch_size: int = 180       # crawler_service.py:103
+    politeness: bool = True            # north_rule addition (absent in ref)
+    round_seconds: float = 60.0        # per-host quota = round_seconds/delay
+    max_rounds: int = 64
+    salt: int = 32                     # skew salt for hot-host windows
+    embed_dim: int = 64
+
+
+def _with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("host", Fx.host_col(F.col(url_col)))
+
+
+def build_robots(spark: SparkSession, web_pages: DataFrame) -> DataFrame:
+    """(host, disallow ARRAY<STRING>, crawl_delay DOUBLE) from the
+    /robots.txt rows of web_pages — a small broadcastable dim."""
+    robots_rows = web_pages.filter(F.col("url").endswith("/robots.txt"))
+    parsed = robots_rows.select(
+        Fx.host_col(F.col("url")).alias("host"),
+        Fx.parse_robots_udf(F.col("html")).alias("r"),
+    )
+    return parsed.select("host", "r.disallow", "r.crawl_delay")
+
+
+def _drop_disallowed(cand: DataFrame, robots: DataFrame, enabled: bool) -> DataFrame:
+    """Politeness: drop robots-disallowed URLs before they are enqueued
+    (never enter frontier nor seen)."""
+    if not enabled:
+        return cand
+    joined = cand.join(F.broadcast(robots.select("host", "disallow")), "host", "left")
+    path = Fx.path_col(F.col("url"))
+    blocked = F.exists("disallow", lambda p: path.startswith(p))
+    return joined.filter(F.col("disallow").isNull() | ~F.coalesce(blocked, F.lit(False))).drop(
+        "disallow"
+    )
+
+
+def seed_round(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    web_pages: DataFrame,
+    seeds: list[str],
+    cfg: CrawlConfig,
+) -> dict:
+    """Round 0: site ids, sitemap probes, initial frontier + seen.
+
+    Mirrors crawler_usecase.main (crawler_usecase.py:104-151): seeds in
+    input order; sitemap hit → every <loc> at depth 1, sitemap_mode,
+    NOT in seen; miss → the seed itself at depth 1, pre-seen.
+    """
+    seeds_df = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds)], "seed_url string, seed_ix int"
+    )
+    pages_slim = web_pages.select("url", "html")
+
+    # site id from the base page title (helper.py:41-63), netloc fallback
+    titled = (
+        seeds_df.join(pages_slim, seeds_df.seed_url == pages_slim.url, "left")
+        .select("seed_url", "seed_ix", Fx.title_udf(F.col("html")).alias("title"))
+    )
+    sid = Fx.site_id_udf()
+    sites = titled.select(
+        "seed_url", "seed_ix",
+        sid(F.coalesce(F.col("title"), F.lit("")), F.col("seed_url")).alias("site_id"),
+    )
+
+    # sitemap probe: /sitemap.xml then /sitemap_index.xml (helper.py:215-226)
+    base = F.regexp_replace(F.col("seed_url"), r"/+$", "")
+    probes = sites.select(
+        "*",
+        F.concat(base, F.lit("/sitemap.xml")).alias("sm1"),
+        F.concat(base, F.lit("/sitemap_index.xml")).alias("sm2"),
+    )
+    p1 = pages_slim.withColumnRenamed("html", "html1")
+    p2 = pages_slim.withColumnRenamed("html", "html2")
+    probed = (
+        probes.join(p1, probes.sm1 == p1.url, "left").drop(p1.url)
+        .join(p2, probes.sm2 == p2.url, "left").drop(p2.url)
+        .withColumn(
+            "locs",
+            F.when(F.col("html1").isNotNull(), Fx.parse_sitemap_udf(F.col("html1")))
+            .when(F.col("html2").isNotNull(), Fx.parse_sitemap_udf(F.col("html2"))),
+        )
+        .select("seed_url", "seed_ix", "site_id", "locs")
+    )
+
+    sitemap_entries = (
+        probed.filter(F.size("locs") > 0)
+        .select(
+            "seed_ix", "site_id", F.col("seed_url").alias("home_url"),
+            F.posexplode("locs").alias("loc_ix", "url"),
+        )
+        .withColumn("sitemap_mode", F.lit(True))
+    )
+    bfs_entries = (
+        probed.filter(F.col("locs").isNull() | (F.size("locs") == 0))
+        .select(
+            "seed_ix", "site_id", F.col("seed_url").alias("home_url"),
+            F.lit(-1).alias("loc_ix"), F.col("seed_url").alias("url"),
+        )
+        .withColumn("sitemap_mode", F.lit(False))
+    )
+    entries = _with_host(sitemap_entries.unionByName(bfs_entries))
+
+    robots = build_robots(spark, web_pages)
+    catalog.write(robots, "robots", 0)
+    entries = _drop_disallowed(entries, robots, cfg.politeness)
+
+    frontier = global_sequence(
+        entries.withColumn("depth", F.lit(1)),
+        ["seed_ix", "loc_ix", "url"],
+        "priority",
+        start=0,
+    ).select(
+        "url", "host", "depth", "site_id", "home_url", "sitemap_mode", "priority"
+    )
+    catalog.write(frontier, "frontier", 0)
+
+    seen0 = (
+        frontier.filter(~F.col("sitemap_mode"))
+        .select(
+            "url", F.xxhash64("url").alias("url_hash"), "site_id", "depth",
+            F.lit(0).alias("round"),
+        )
+    )
+    catalog.write(seen0, "seen_delta", 0)
+
+    budget0 = (
+        sites.select("site_id").distinct()
+        .withColumn("used", F.lit(0))
+        .withColumn("max", F.lit(cfg.budget_per_site))
+    )
+    catalog.write(budget0, "budget", 0)
+    catalog.write(
+        spark.createDataFrame([], CRAWLED_SCHEMA), "crawled", 0
+    )
+
+    n_frontier = frontier.count()
+    state = {"next_priority": n_frontier, "round": 0, "done": n_frontier == 0}
+    catalog.write_state(0, state)
+    return state
+
+
+def run_round(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    web_pages: DataFrame,
+    cfg: CrawlConfig,
+    round_: int,
+    state: dict,
+) -> dict:
+    """One fetch→extract→discover→dedup round; commits round snapshots."""
+    frontier = catalog.read(spark, "frontier", round_ - 1)
+    budget = catalog.read(spark, "budget", round_ - 1)
+    robots = catalog.read(spark, "robots", 0)
+
+    # ---- politeness: per-host quota, defer the rest (priority kept)
+    if cfg.politeness:
+        quota = F.when(
+            F.col("crawl_delay").isNotNull(),
+            F.greatest(F.lit(1), F.floor(F.lit(cfg.round_seconds) / F.col("crawl_delay"))),
+        )
+        fr = frontier.join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
+        unlimited = fr.filter(F.col("crawl_delay").isNull()).drop("crawl_delay")
+        limited = fr.filter(F.col("crawl_delay").isNotNull())
+        if limited.isEmpty():
+            fetch_now, deferred = frontier, frontier.limit(0)
+        else:
+            top, rest = topk_per_group(
+                limited.withColumn("quota", quota),
+                "host",
+                ["priority"],
+                F.col("quota"),
+                salt=cfg.salt,
+                unique_col="url",
+            )
+            fetch_now = unlimited.unionByName(top.drop("crawl_delay", "quota"))
+            deferred = rest.drop("crawl_delay", "quota")
+    else:
+        fetch_now, deferred = frontier, frontier.limit(0)
+
+    # ---- depth gate F1 (items at depth >= max are consumed, not fetched)
+    fetch_now = fetch_now.filter(F.col("depth") < cfg.max_depth)
+
+    # ---- fetch = equi-join against web_pages (S3); misses vanish like
+    # result.success=False does (crawler_service.py:62-70)
+    fetched = (
+        fetch_now.join(web_pages.select("url", "html"), "url", "inner")
+        .withColumn("text", Fx.extract_merged_text_udf(F.col("html")))
+    )
+    fetched.persist()
+    try:
+        crawled = fetched.select(
+            "url", "site_id", F.col("home_url").alias("base_url"), "text",
+            "depth", F.lit(round_).alias("round"), "priority",
+        )
+        catalog.write(crawled, "crawled", round_)
+
+        # ---- per-partition lineage + fetch metrics (S9/O5 analogue)
+        lineage = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("pages_fetched"),
+            F.sum(F.length("html")).alias("bytes_fetched"),
+        ).withColumn("round", F.lit(round_))
+        catalog.write(lineage, "metrics", round_)
+
+        # ---- discover (X2) on expanding pages only (F2/F3 gates)
+        expanding = fetched.filter(
+            (~F.col("sitemap_mode")) & (F.col("depth") + 1 < cfg.max_depth)
+        )
+        links = expanding.select(
+            "url", "host", "site_id", "home_url", "depth", "priority",
+            Fx.discover_links_udf(F.col("html")).alias("raw_links"),
+        )
+        # F4 fragment strip → in-page dedup F6 → same-host F5 → canonical sort
+        links = links.withColumn(
+            "internal",
+            F.array_sort(
+                F.filter(
+                    F.array_distinct(
+                        F.transform("raw_links", lambda u: Fx.strip_fragment_col(u))
+                    ),
+                    lambda u: Fx.host_col(u) == F.col("host"),
+                )
+            ),
+        ).withColumn(
+            "n_batches",
+            F.ceil(F.size("internal") / F.lit(cfg.filter_batch_size)).cast("int"),
+        ).drop("raw_links")
+
+        # ---- budget (F9): only the first `budget` consuming pages per
+        # site can spend; bounded window after a salted top-k
+        consuming = links.filter(F.col("n_batches") > 0).join(
+            F.broadcast(budget), "site_id", "left"
+        )
+        cand, _over = topk_per_group(
+            consuming, "site_id", ["priority"], F.col("max"), salt=cfg.salt,
+            unique_col="url",
+        )
+        w = Window.partitionBy("site_id").orderBy("priority").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cand = cand.withColumn(
+            "cum_before", F.coalesce(F.sum("n_batches").over(w), F.lit(0))
+        ).withColumn(
+            "allowed_batches",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("n_batches"),
+                    F.col("max") - F.col("used") - F.col("cum_before"),
+                ),
+            ).cast("int"),
+        )
+        kept = cand.filter(F.col("allowed_batches") > 0).withColumn(
+            "kept_links",
+            Fx.rule_filter_links(
+                F.slice(
+                    F.col("internal"), 1,
+                    F.col("allowed_batches") * F.lit(cfg.filter_batch_size),
+                )
+            ),
+        )
+
+        # ---- children candidates (enqueue at depth+1, crawler_service.py:114-121)
+        children = kept.select(
+            "site_id", "home_url",
+            (F.col("depth") + 1).alias("depth"),
+            F.col("priority").alias("parent_priority"),
+            F.explode("kept_links").alias("url"),
+        )
+        children = _with_host(children)
+        children = _drop_disallowed(children, robots, cfg.politeness)
+
+        # first-enqueuer wins within the round (FIFO semantics)
+        firsts = children.groupBy("url").agg(
+            F.min(
+                F.struct("parent_priority", "site_id", "home_url", "depth", "host")
+            ).alias("w")
+        ).select("url", "w.*")
+
+        # ---- global seen-set anti-join (F8) against all committed deltas
+        # only rounds strictly before this one — a partially-committed
+        # attempt of THIS round must not dedup against itself on resume
+        seen_paths = [
+            catalog.data_dir("seen_delta", r)
+            for r in catalog.committed_rounds("seen_delta")
+            if r < round_
+        ]
+        seen = spark.read.parquet(*seen_paths).select("url")
+        new_items = firsts.join(seen, "url", "left_anti")
+
+        new_frontier_items = global_sequence(
+            new_items, ["parent_priority", "url"], "priority",
+            start=state["next_priority"],
+        ).withColumn("sitemap_mode", F.lit(False)).select(
+            "url", "host", "depth", "site_id", "home_url", "sitemap_mode", "priority"
+        )
+
+        next_frontier = deferred.select(
+            "url", "host", "depth", "site_id", "home_url", "sitemap_mode", "priority"
+        ).unionByName(new_frontier_items)
+        catalog.write(next_frontier, "frontier", round_)
+
+        seen_delta = new_frontier_items.select(
+            "url", F.xxhash64("url").alias("url_hash"), "site_id", "depth",
+            F.lit(round_).alias("round"),
+        )
+        catalog.write(seen_delta, "seen_delta", round_)
+
+        # ---- budget update: used' = min(max, used + Σ n_batches)
+        spend = links.groupBy("site_id").agg(F.sum("n_batches").alias("spent"))
+        new_budget = (
+            budget.join(spend, "site_id", "left")
+            .withColumn(
+                "used",
+                F.least(F.col("max"), F.col("used") + F.coalesce("spent", F.lit(0)).cast("int")),
+            )
+            .select("site_id", "used", "max")
+        )
+        catalog.write(new_budget, "budget", round_)
+
+        n_next = next_frontier.count()
+        new_state = {
+            "next_priority": state["next_priority"]
+            + new_frontier_items.count(),
+            "round": round_,
+            "done": n_next == 0,
+        }
+        catalog.write_state(round_, new_state)
+        return new_state
+    finally:
+        fetched.unpersist()
+
+
+def crawl(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    seeds: list[str],
+    snapshot_root: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+) -> SnapshotCatalog:
+    """Run (or resume) a full crawl; returns the snapshot catalog.
+
+    Resume reads the latest committed driver state and continues from
+    the following round — killed-mid-round work is invisible because
+    manifests publish atomically (north_rule checkpoint requirement).
+    """
+    cfg = cfg or CrawlConfig()
+    catalog = SnapshotCatalog(snapshot_root)
+
+    state = None
+    if resume:
+        latest = catalog.latest_state()
+        if latest is not None:
+            state = latest[1]
+    if state is None:
+        state = seed_round(spark, catalog, web_pages, seeds, cfg)
+
+    while not state["done"] and state["round"] < cfg.max_rounds:
+        t0 = time.time()
+        state = run_round(spark, catalog, web_pages, cfg, state["round"] + 1, state)
+        dt = time.time() - t0
+        print(f"[crawl] round {state['round']} in {dt:.1f}s done={state['done']}")
+    return catalog
+
+
+def crawled_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
+    """All crawled pages across rounds (url, site_id, base_url, text,
+    depth, round, priority)."""
+    paths = [catalog.data_dir("crawled", r) for r in catalog.committed_rounds("crawled")]
+    return spark.read.schema(CRAWLED_SCHEMA).parquet(*paths)
+
+
+def seen_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
+    paths = [catalog.data_dir("seen_delta", r) for r in catalog.committed_rounds("seen_delta")]
+    return spark.read.parquet(*paths)

@@ -1,0 +1,165 @@
+"""Embedding kernels: deterministic dense embedder + BM25 sparse encoder.
+
+Reference behaviors re-expressed:
+  * dense: ``TextEmbedding('BAAI/bge-base-en-v1.5')`` batches of 24
+    (src/app/services/embed_service.py:55-93).  The model itself is not
+    in this container, so the default backend is a deterministic
+    feature-hashing projection (classic hashing trick) with the same
+    interface and a pluggable real-model hook; dim configurable
+    (768 to mirror bge-base, 64 in fast tests).
+  * sparse: ``BM25Encoder.encode_documents/encode_queries``
+    (embed_service.py:25-53) → ``{indices, values}``.  Implemented as
+    standard Okapi BM25 (k1=1.2, b=0.75) over a corpus-stats object
+    that Spark broadcasts once (the reference pickles its fitted
+    encoder, src/app/config/load_bm25.py:15-44).
+  * hybrid alpha weighting: dense*α, sparse*(1-α)
+    (src/app/services/pinecone_service.py:119-129).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+# ---------------------------------------------------------------- dense
+
+
+def _token_slot(token: str, dim: int) -> tuple[int, float]:
+    h = hashlib.md5(token.encode("utf-8")).digest()
+    idx = int.from_bytes(h[:4], "big") % dim
+    sign = 1.0 if h[4] & 1 else -1.0
+    return idx, sign
+
+
+def dense_embed(text: str, dim: int = 64) -> list[float]:
+    """Deterministic hashing-trick embedding, L2-normalized."""
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in tokenize(text):
+        idx, sign = _token_slot(tok, dim)
+        v[idx] += sign
+    n = float(np.linalg.norm(v))
+    if n > 0:
+        v /= n
+    return v.tolist()
+
+
+def dense_embed_batch(texts, dim: int = 64) -> list[list[float]]:
+    return [dense_embed(t, dim) for t in texts]
+
+
+# ---------------------------------------------------------------- BM25
+
+
+class BM25Stats:
+    """Corpus statistics for BM25 (fit once, broadcast to executors)."""
+
+    __slots__ = ("idf", "avgdl", "k1", "b", "n_docs")
+
+    def __init__(self, idf: dict[int, float], avgdl: float, n_docs: int,
+                 k1: float = 1.2, b: float = 0.75) -> None:
+        self.idf = idf
+        self.avgdl = avgdl
+        self.n_docs = n_docs
+        self.k1 = k1
+        self.b = b
+
+    def to_dict(self) -> dict:
+        return {"idf": self.idf, "avgdl": self.avgdl, "n_docs": self.n_docs,
+                "k1": self.k1, "b": self.b}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "BM25Stats":
+        return cls({int(k): v for k, v in d["idf"].items()},
+                   d["avgdl"], d["n_docs"], d["k1"], d["b"])
+
+
+def term_id(token: str) -> int:
+    """Stable 31-bit term id (sparse vector index)."""
+    h = hashlib.md5(token.encode("utf-8")).digest()
+    return int.from_bytes(h[:4], "big") & 0x7FFFFFFF
+
+
+def fit_bm25(texts) -> BM25Stats:
+    """Fit document frequencies over a corpus (driver- or agg-side)."""
+    df: dict[int, int] = {}
+    total_len = 0
+    n = 0
+    for t in texts:
+        toks = tokenize(t)
+        total_len += len(toks)
+        n += 1
+        for tid in {term_id(tok) for tok in toks}:
+            df[tid] = df.get(tid, 0) + 1
+    idf = {
+        tid: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for tid, d in df.items()
+    }
+    return BM25Stats(idf, (total_len / n) if n else 1.0, n)
+
+
+def bm25_encode_document(text: str, stats: BM25Stats) -> tuple[list[int], list[float]]:
+    """Doc-side BM25 weights: tf-saturated, length-normalized."""
+    toks = tokenize(text)
+    dl = len(toks)
+    tf: dict[int, int] = {}
+    for tok in toks:
+        tid = term_id(tok)
+        tf[tid] = tf.get(tid, 0) + 1
+    k1, b = stats.k1, stats.b
+    norm = k1 * (1.0 - b + b * dl / stats.avgdl)
+    indices = sorted(tf)
+    values = [tf[i] * (k1 + 1.0) / (tf[i] + norm) for i in indices]
+    return indices, values
+
+
+def bm25_encode_query(text: str, stats: BM25Stats) -> tuple[list[int], list[float]]:
+    """Query-side BM25 weights: idf per distinct term."""
+    tids = sorted({term_id(tok) for tok in tokenize(text)})
+    return tids, [stats.idf.get(t, 0.0) for t in tids]
+
+
+# ---------------------------------------------------------------- hybrid
+
+
+def sparse_dot(idx_a, val_a, idx_b, val_b) -> float:
+    """Dot product of two sorted sparse vectors."""
+    i = j = 0
+    s = 0.0
+    while i < len(idx_a) and j < len(idx_b):
+        if idx_a[i] == idx_b[j]:
+            s += val_a[i] * val_b[j]
+            i += 1
+            j += 1
+        elif idx_a[i] < idx_b[j]:
+            i += 1
+        else:
+            j += 1
+    return s
+
+
+def hybrid_score(dense_q, dense_d, sq_idx, sq_val, sd_idx, sd_val, alpha: float) -> float:
+    """α·dense_dot + (1-α)·sparse_dot (pinecone_service.py:119-178)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    dd = float(np.dot(np.asarray(dense_q), np.asarray(dense_d)))
+    sd = sparse_dot(sq_idx, sq_val, sd_idx, sd_val)
+    return alpha * dd + (1.0 - alpha) * sd
+
+
+def rerank_score(query: str, doc: str) -> float:
+    """Deterministic lexical-overlap reranker (Q6 stand-in for the Jina
+    cross-encoder, src/app/services/jina_reranker_service.py:17-41)."""
+    q = set(tokenize(query))
+    if not q:
+        return 0.0
+    d = set(tokenize(doc))
+    return len(q & d) / len(q)

@@ -1,0 +1,205 @@
+"""Deduplication operators over ``documents``: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale notes (these run over 100 TB of text on a real cluster):
+  * exact dedup is one hash-groupBy — map-side partial agg, one shuffle
+    on the 128-bit fingerprint (never on the text itself);
+  * pairwise similarity is NEVER all-pairs: n-gram Jaccard blocks on
+    shared shingles (posting-list self-join), MinHash blocks on LSH
+    band buckets — candidate pairs ∝ true-duplicate density;
+  * every kernel uses portable primitives (md5, split, explode) so the
+    DuckDB oracle can replay identical logic in ANSI-ish SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col="text"):
+    return F.trim(F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]+", " ")))
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: keeper + group size."""
+    return (
+        documents.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — word n-gram shingles of the normalized text,
+    distinct per doc.  JVM-native: sequence+transform+explode."""
+    toks = F.split(_norm_text(), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs with word-n-gram Jaccard ≥ threshold.
+
+    Blocked self-join on shared shingles (a pair is only scored if it
+    shares ≥1 shingle), |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sh = _shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
+    """(doc_id, sig ARRAY<STRING>[k]) — MinHash over word-n-gram
+    shingles; hash family h_i(s) = md5(i || '|' || s), min per i.
+    Portable to the DuckDB oracle (same md5 both sides)."""
+    sh = _shingles(documents, n)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n: int = 3, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs whose signatures collide in ≥1 LSH band
+    (k/bands rows per band), with the estimated Jaccard = fraction of
+    matching minhashes.  shingle→minhash→band→bucket-join."""
+    rows = k // bands
+    sigs = minhash_signatures(documents, n, k)
+    banded = sigs.select(
+        "doc_id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                    .alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(k))
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT) — 32-bit SimHash over unigram tokens.
+
+    Per-bit majority vote: bit b of md5(token) contributes ±1; the
+    sign of the sum sets bit b.  Kept at 32 bits so the whole thing
+    stays in exact integer arithmetic everywhere."""
+    bits = 32
+    toks = F.explode(
+        F.array_distinct(F.split(_norm_text(), " "))
+    ).alias("tok")
+    t = documents.select("doc_id", toks).filter(F.col("tok") != "")
+    # token hash = first 8 hex chars of md5 → 32-bit int
+    t = t.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    b = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        b.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold, blocked by label
+    (at scale the blocking key is an LSH bucket; `label` stands in as
+    the coarse partition so the join is never all-pairs)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label"
+    )
+    # cast float32 → double BEFORE multiplying so the arithmetic matches
+    # the (double-precision) DuckDB oracle bit-for-bit
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a_, x: a_ + x,
+        )
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )

@@ -1,0 +1,97 @@
+"""Similarity search over ``embeddings(vec_id, embedding ARRAY<FLOAT>,
+label)``: brute-force cosine top-k (the exact baseline) and a
+sign-bucketed LSH variant (the scale path).
+
+Everything is JVM-native (zip_with/aggregate HOFs) — no Python in the
+scoring loop.  At cluster scale the brute-force path is a single
+map-side scan + TakeOrderedAndProject (per-partition top-k then merge,
+which Catalyst emits for orderBy+limit automatically)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(x * x for x in query_vec) ** 0.5
+    cos = _dot(F.col("embedding"), q) / (F.lit(qn) * _norm(F.col("embedding")))
+    return (
+        embeddings.withColumn("cosine", F.round(cos, 6))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "cosine")
+    )
+
+
+def sign_bucket(col, n_bits: int = 8):
+    """LSH bucket = sign bits of the first n_bits dimensions.
+
+    Deterministic and portable (the DuckDB oracle computes the same
+    key); a production variant would use seeded random hyperplanes —
+    same plan shape, different projection."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(col.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(n_bits)
+        ],
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10, n_bits: int = 8
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's sign bucket.
+
+    Scale path: the bucket key is a partition/cluster key, so the scan
+    prunes to one bucket (~n/2^bits of the data) before any scoring."""
+    qkey = "".join("1" if x >= 0 else "0" for x in query_vec[:n_bits])
+    bucketed = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
+    return cosine_topk(bucketed.filter(F.col("bucket") == qkey), query_vec, k)
+
+
+def knn_join(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4
+) -> DataFrame:
+    """Bulk ANN: for every query vector, its top-k neighbors from the
+    corpus, joined within sign buckets then windowed per query.
+
+    queries: (q_id, q_emb ARRAY<FLOAT>).  The bucket equi-join replaces
+    the all-pairs cross join; the per-query top-k is a window over the
+    bucket-joined candidates (bounded per query)."""
+    from pyspark.sql import Window
+
+    c = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
+    q = queries.withColumn("bucket", sign_bucket(F.col("q_emb"), n_bits))
+    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        q.join(c, "bucket")
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cosine")
+    )

@@ -1,0 +1,170 @@
+"""Post-crawl pipeline stages: chunk → embed → vectors (O6 chain,
+reference scrape_controller.py:25-32).
+
+All stages are DataFrame transforms; Python only inside Arrow pandas
+UDFs / mapInPandas.  The vector ids are stable hashes — the reference
+uses uuid4 (upsert_usecase/helper.py:53) which is nondeterministic, so
+we derive ``sha2(site_id||url||chunk_ix)`` instead (SURVEY.md §2.3 X9).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import functions as Fx
+from .kernels import embed as embed_k
+from .kernels.chunker import chunk_text, summary_chunk
+
+METADATA_SCHEMA = (
+    "struct<sdk_framework_name:string, base_url:string, href:string, "
+    "sdk_framework:string, has_code_snippet:boolean, version:string, "
+    "domains:array<string>, subdomains:array<string>>"
+)
+CHUNKS_SCHEMA = (
+    "url string, site_id string, chunk_ix int, chunked_data string, "
+    f"metadata {METADATA_SCHEMA}, is_summary boolean"
+)
+
+
+def chunk_pages(crawled: DataFrame) -> DataFrame:
+    """Deterministic chunking of crawled pages (X5) via mapInPandas."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for c in chunk_text(
+                    r.text, href=r.url, base_url=r.base_url, site_id=r.site_id
+                ):
+                    rows.append({
+                        "url": r.url, "site_id": r.site_id,
+                        "chunk_ix": c["chunk_ix"],
+                        "chunked_data": c["chunked_data"],
+                        "metadata": c["metadata"],
+                        "is_summary": False,
+                    })
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                columns=["url", "site_id", "chunk_ix", "chunked_data",
+                         "metadata", "is_summary"]
+            )
+
+    return crawled.select("url", "site_id", "base_url", "text").mapInPandas(
+        run, CHUNKS_SCHEMA
+    )
+
+
+def summary_chunks(crawled: DataFrame, top_n: int = 4) -> DataFrame:
+    """Per-site summary chunk (X6): deterministic top-4 pages by
+    (text length desc, url), then one synthesized summary row.
+
+    The candidate cut uses a per-site window (reference caps the LLM's
+    candidate list at 180 hrefs, chunking_helper.py:292-294)."""
+    w = Window.partitionBy("site_id").orderBy(
+        F.length("text").desc(), F.col("url").asc()
+    )
+    top = (
+        crawled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("site_id", "base_url", "url", "text")
+    )
+
+    def synth(pdf: pd.DataFrame) -> pd.DataFrame:
+        site_id = pdf["site_id"].iloc[0]
+        base_url = pdf["base_url"].iloc[0]
+        pages = sorted(
+            zip(pdf["url"], pdf["text"]), key=lambda t: (-len(t[1]), t[0])
+        )
+        c = summary_chunk(site_id, base_url, pages, top_n=top_n)
+        return pd.DataFrame([{
+            "url": base_url, "site_id": site_id, "chunk_ix": 0,
+            "chunked_data": c["chunked_data"], "metadata": c["metadata"],
+            "is_summary": True,
+        }])
+
+    return top.groupBy("site_id").applyInPandas(synth, CHUNKS_SCHEMA)
+
+
+def all_chunks(crawled: DataFrame) -> DataFrame:
+    return chunk_pages(crawled).unionByName(summary_chunks(crawled))
+
+
+def fit_bm25_distributed(chunks: DataFrame) -> embed_k.BM25Stats:
+    """Corpus-wide BM25 stats with distributed DF/agg computation:
+    document frequencies via explode+distinct+groupBy (map-side partial
+    aggregation), avgdl via one avg — only the (term → df) vocabulary
+    is collected, never the corpus."""
+    toks = chunks.select(
+        F.col("chunked_data").alias("t"),
+        F.array_distinct(
+            F.split(F.lower(F.regexp_replace("chunked_data", "[^a-zA-Z0-9]+", " ")), " ")
+        ).alias("toks"),
+    )
+    stats_row = chunks.select(
+        F.count("*").alias("n"),
+        F.avg(F.size(F.split(F.trim(
+            F.lower(F.regexp_replace("chunked_data", "[^a-zA-Z0-9]+", " "))
+        ), " +"))).alias("avgdl"),
+    ).collect()[0]
+    df_rows = (
+        toks.select(F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok").count().collect()
+    )
+    import math
+
+    n = stats_row["n"] or 0
+    idf = {
+        embed_k.term_id(r["tok"]): math.log((n - r["count"] + 0.5) / (r["count"] + 0.5) + 1.0)
+        for r in df_rows
+    }
+    return embed_k.BM25Stats(idf, float(stats_row["avgdl"] or 1.0), n)
+
+
+def normalize_metadata(chunks: DataFrame) -> DataFrame:
+    """X9 metadata normalization (upsert_usecase/helper.py:37-155):
+    lowercase stringification of enum-ish fields, drop empty version,
+    inject chunked_data into metadata, stable id."""
+    m = F.col("metadata")
+    meta = F.struct(
+        F.lower(m["sdk_framework_name"]).alias("sdk_framework_name"),
+        m["base_url"].alias("base_url"),
+        m["href"].alias("href"),
+        F.lower(m["sdk_framework"]).alias("sdk_framework"),
+        F.lower(m["has_code_snippet"].cast("string")).alias("has_code_snippet"),
+        F.when(
+            m["version"].isNotNull() & (F.trim(m["version"]) != ""), m["version"]
+        ).alias("version"),
+        F.transform(m["domains"], F.lower).alias("domains"),
+        F.transform(m["subdomains"], F.lower).alias("subdomains"),
+        F.col("chunked_data").alias("chunked_data"),
+        F.lower(F.col("is_summary").cast("string")).alias("is_summary"),
+    )
+    vid = F.sha2(
+        F.concat_ws("\0", "site_id", "url", F.col("chunk_ix").cast("string"),
+                    F.col("is_summary").cast("string")),
+        256,
+    )
+    return chunks.select(
+        vid.alias("id"), "url", "site_id", "chunk_ix", "chunked_data",
+        "is_summary", meta.alias("metadata"),
+    )
+
+
+def build_vectors(
+    spark, chunks: DataFrame, dim: int = 64, stats: embed_k.BM25Stats | None = None
+) -> tuple[DataFrame, embed_k.BM25Stats]:
+    """chunks → vectors(id, values, sparse, metadata) (X7/X8/X9 + S7).
+
+    BM25 stats are fit once and broadcast (the reference pickle-caches
+    its fitted encoder, load_bm25.py:15-44); dense embeddings come from
+    the pluggable deterministic hashing embedder.
+    """
+    stats = stats or fit_bm25_distributed(chunks)
+    bc = spark.sparkContext.broadcast(stats.to_dict())
+    normalized = normalize_metadata(chunks)
+    out = normalized.withColumn(
+        "values", Fx.dense_embed_udf(dim)(F.col("chunked_data"))
+    ).withColumn("sparse", Fx.bm25_encode_udf(bc)(F.col("chunked_data")))
+    return out, stats

@@ -1,0 +1,119 @@
+"""SnapshotCatalog — numbered, atomically-published table snapshots.
+
+Iceberg-shaped semantics behind a small interface (SURVEY.md §7): on a
+real cluster this is Iceberg snapshot commits (config-only swap); in
+the sandbox (no Iceberg runtime jar, no network) the offline backend is
+Parquet directories published by an atomic manifest rename.  Both give:
+
+* numbered snapshots per table (``round`` k → immutable directory),
+* atomic publish (write staging → fsync manifest → ``os.replace``),
+* time-travel (read table as of round k),
+* resume: ``latest_round()`` = max committed manifest, so a crawl
+  killed mid-round restarts from the last published round with no
+  partial state visible (reference has no such recovery — the asyncio
+  queue dies with the process; this is the north_rule checkpoint
+  requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class SnapshotCatalog:
+    """Per-crawl catalog rooted at one directory.
+
+    Layout::
+
+        root/
+          <table>/r00003/part-*.parquet      # data, written by Spark
+          <table>/_r00003.manifest.json      # atomic commit marker
+          _crawl_state/r00003.json           # driver-side loop state
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---------------------------------------------------------- paths
+    def data_dir(self, table: str, round_: int) -> str:
+        return os.path.join(self.root, table, f"r{round_:05d}")
+
+    def _manifest_path(self, table: str, round_: int) -> str:
+        return os.path.join(self.root, table, f"_r{round_:05d}.manifest.json")
+
+    # ---------------------------------------------------------- write
+    def write(self, df, table: str, round_: int, partition_by: list[str] | None = None) -> None:
+        """Write a snapshot and atomically publish its manifest."""
+        path = self.data_dir(table, round_)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        self._publish(table, round_, {"path": path, "partition_by": partition_by or []})
+
+    def _publish(self, table: str, round_: int, payload: dict) -> None:
+        payload = dict(payload, table=table, round=round_,
+                       committed_at=time.time(), snapshot_id=str(uuid.uuid4()))
+        final = self._manifest_path(table, round_)
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)  # atomic on POSIX
+
+    # ----------------------------------------------------------- read
+    def committed_rounds(self, table: str) -> list[int]:
+        d = os.path.join(self.root, table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("_r") and name.endswith(".manifest.json"):
+                out.append(int(name[2:7]))
+        return sorted(out)
+
+    def latest_round(self, table: str) -> int | None:
+        rounds = self.committed_rounds(table)
+        return rounds[-1] if rounds else None
+
+    def read(self, spark, table: str, round_: int | None = None):
+        """Read a table snapshot (latest when ``round_`` is None)."""
+        if round_ is None:
+            round_ = self.latest_round(table)
+        if round_ is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        return spark.read.parquet(self.data_dir(table, round_))
+
+    def exists(self, table: str, round_: int) -> bool:
+        return os.path.exists(self._manifest_path(table, round_))
+
+    # ------------------------------------------------- driver state
+    def write_state(self, round_: int, state: dict) -> None:
+        d = os.path.join(self.root, "_crawl_state")
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"r{round_:05d}.json")
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+
+    def latest_state(self) -> tuple[int, dict] | None:
+        d = os.path.join(self.root, "_crawl_state")
+        if not os.path.isdir(d):
+            return None
+        rounds = sorted(
+            int(n[1:6]) for n in os.listdir(d)
+            if n.startswith("r") and n.endswith(".json")
+        )
+        if not rounds:
+            return None
+        r = rounds[-1]
+        with open(os.path.join(d, f"r{r:05d}.json")) as f:
+            return r, json.load(f)

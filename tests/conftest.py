@@ -1,0 +1,15 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from doccrawler_spark.session import get_spark
+
+    s = get_spark(app_name="doccrawler_tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,161 @@
+"""End-to-end equivalence: Spark engine vs sequential oracle on the
+tiny synthetic web (SURVEY.md §5.2 item 3).
+
+Asserts (a) final URL-seen set equality, (b) crawl ordering at
+(depth, priority) granularity, (c) byte-identical extracted text per
+url (== the golden web_pages.text), (d) identical per-site budget
+consumption, (e) resume-from-checkpoint reproduces identical state,
+(f) politeness deferral (quota per host per round) matches.
+"""
+
+import os
+
+import pytest
+
+from doccrawler_spark.crawl import CrawlConfig, crawl, crawled_all, seen_all
+from doccrawler_spark.webgen import (
+    SiteSpec,
+    WebSpec,
+    gen_seeds,
+    tiny_spec,
+    web_pages_pandas,
+)
+from tests.oracle import OracleConfig, SequentialOracle
+
+WEB_PAGES_SPARK_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def _load(spark, spec):
+    pdf = web_pages_pandas(spec)
+    web = spark.createDataFrame(pdf, schema=WEB_PAGES_SPARK_SCHEMA)
+    pages_by_url = {
+        r["url"]: bytes(r["html"]).decode("utf-8") for _, r in pdf.iterrows()
+    }
+    golden_text = {r["url"]: r["text"] for _, r in pdf.iterrows()}
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    return web, pages_by_url, golden_text, seeds
+
+
+def _run_both(spark, tmp_path, spec, *, max_depth, politeness, round_seconds=60.0,
+              budget=50, resume_after=None):
+    web, pages, golden, seeds = _load(spark, spec)
+    ocfg = OracleConfig(max_depth=max_depth, budget_per_site=budget,
+                        politeness=politeness, round_seconds=round_seconds)
+    oracle = SequentialOracle(pages, ocfg).run(seeds)
+
+    ecfg = CrawlConfig(max_depth=max_depth, budget_per_site=budget,
+                       politeness=politeness, round_seconds=round_seconds)
+    root = os.path.join(str(tmp_path), "snap")
+    if resume_after is not None:
+        # run only N rounds, then resume to completion from the snapshot
+        partial = CrawlConfig(**{**ecfg.__dict__, "max_rounds": resume_after})
+        crawl(spark, web, seeds, root, partial)
+        catalog = crawl(spark, web, seeds, root, ecfg, resume=True)
+    else:
+        catalog = crawl(spark, web, seeds, root, ecfg)
+    return oracle, catalog, web, golden
+
+
+def _assert_equivalent(spark, oracle, catalog, golden):
+    eng = crawled_all(spark, catalog).orderBy("priority").collect()
+    assert len(eng) == len(oracle.crawled), (
+        f"engine crawled {len(eng)} pages, oracle {len(oracle.crawled)}"
+    )
+    o_sorted = sorted(oracle.crawled, key=lambda r: r["priority"])
+    for e, o in zip(eng, o_sorted):
+        assert e["url"] == o["url"], (e["url"], o["url"])
+        assert e["site_id"] == o["site_id"]
+        assert e["depth"] == o["depth"]
+        assert e["round"] == o["round"]
+        assert e["priority"] == o["priority"]
+        # byte-identical text vs oracle AND vs the golden column
+        assert e["text"] == o["text"], f"text mismatch for {e['url']}"
+        assert e["text"] == golden[e["url"]], f"golden mismatch for {e['url']}"
+
+    eng_seen = {r["url"] for r in seen_all(spark, catalog).select("url").collect()}
+    assert eng_seen == oracle.seen
+
+    eng_budget = {
+        r["site_id"]: r["used"]
+        for r in catalog.read(spark, "budget").collect()
+    }
+    assert eng_budget == oracle.budget
+
+
+def test_tiny_bfs_and_sitemap(spark, tmp_path):
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, tiny_spec(), max_depth=3, politeness=True
+    )
+    # sanity: both modes produced pages; sitemap site fetched but never expanded
+    assert any(r["site_id"].startswith("docsalphatest") for r in oracle.crawled)
+    assert any(r["site_id"].startswith("docsbetatest") for r in oracle.crawled)
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
+def test_deeper_crawl_multi_round(spark, tmp_path):
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, tiny_spec(), max_depth=4, politeness=True
+    )
+    assert oracle.rounds >= 3
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
+def test_budget_clamp(spark, tmp_path):
+    # budget of 2 filter batches per site → expansion stops early
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, tiny_spec(), max_depth=4, politeness=True, budget=2
+    )
+    assert max(oracle.budget.values()) == 2
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
+def test_politeness_deferral(spark, tmp_path):
+    # a crawl-delayed host gets quota round_seconds/delay = 3 per round
+    spec = WebSpec(sites=(
+        SiteSpec("docs.slow.test", 40, branching=4, crawl_delay=20.0,
+                 disallow=("/private/",)),
+    ))
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, spec, max_depth=4, politeness=True, round_seconds=60.0
+    )
+    # quota must have forced deferral across extra rounds
+    assert oracle.rounds > 3
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
+def test_politeness_off_matches_pure_reference_semantics(spark, tmp_path):
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, tiny_spec(), max_depth=3, politeness=False
+    )
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
+def test_resume_from_checkpoint(spark, tmp_path):
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, tiny_spec(), max_depth=4, politeness=True,
+        resume_after=1,
+    )
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
+def test_invariants(spark, tmp_path):
+    """Property checks: no URL fetched twice per site, nothing at depth
+    >= MAX_DEPTH, seen-set monotone (SURVEY.md §5.2 item 4)."""
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, tiny_spec(), max_depth=3, politeness=True
+    )
+    df = crawled_all(spark, catalog)
+    n = df.count()
+    assert df.select("url", "site_id").distinct().count() == n
+    assert df.filter(f"depth >= 3").count() == 0
+    # seen contains every non-sitemap crawled url
+    seen = {r["url"] for r in seen_all(spark, catalog).collect()}
+    from pyspark.sql import functions as F
+    non_sitemap = df.join(
+        catalog.read(spark, "frontier", 0).filter("sitemap_mode").select("url"),
+        "url", "left_anti",
+    )
+    for r in non_sitemap.select("url").collect():
+        assert r["url"] in seen
