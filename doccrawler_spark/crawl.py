@@ -62,16 +62,24 @@ class CrawlConfig:
     max_rounds: int = 64
     salt: int = 32                     # skew salt for hot-host windows
     embed_dim: int = 64
+    # frontier-size cutoff below which seen-set dedup uses the
+    # broadcast semi/anti path (seen never shuffled); above it, the
+    # plain shuffle anti-join (bucketed seen at cluster scale)
+    broadcast_dedup_max_frontier: int = 2_000_000
 
 
 def _with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("host", Fx.host_col(F.col(url_col)))
 
 
-def build_robots(spark: SparkSession, web_pages: DataFrame) -> DataFrame:
+def build_robots(spark: SparkSession, robots_rows: DataFrame) -> DataFrame:
     """(host, disallow ARRAY<STRING>, crawl_delay DOUBLE) from the
-    /robots.txt rows of web_pages — a small broadcastable dim."""
-    robots_rows = web_pages.filter(F.col("url").endswith("/robots.txt"))
+    /robots.txt rows — a small broadcastable dim.
+
+    ``robots_rows`` is pre-pruned to the robots.txt urls of the seed
+    hosts (the same-domain filter F5 keeps the crawl inside those
+    hosts, so no other robots files can ever matter) — never a full
+    ``endswith`` scan of the corpus."""
     parsed = robots_rows.select(
         Fx.host_col(F.col("url")).alias("host"),
         Fx.parse_robots_udf(F.col("html")).alias("r"),
@@ -108,38 +116,64 @@ def seed_round(
     seeds_df = spark.createDataFrame(
         [(u, i) for i, u in enumerate(seeds)], "seed_url string, seed_ix int"
     )
-    pages_slim = web_pages.select("url", "html")
+    base = F.regexp_replace(F.col("seed_url"), r"/+$", "")
+    probes = seeds_df.select(
+        "seed_url", "seed_ix",
+        F.concat(base, F.lit("/sitemap.xml")).alias("sm1"),
+        F.concat(base, F.lit("/sitemap_index.xml")).alias("sm2"),
+    )
 
-    # site id from the base page title (helper.py:41-63), netloc fallback
+    # Pull every special row seeding needs — seed base pages, sitemap
+    # candidates, the seed hosts' robots.txt — with ONE static IN-list
+    # filter (the urls are pure functions of the seed list, known at
+    # plan time), which Catalyst pushes into the parquet scan as
+    # row-group-prunable predicates: no join, no full decode of the
+    # html corpus.  (For 10^6+-seed crawls swap in the equivalent
+    # broadcast left-semi join.)
+    from urllib.parse import urlparse
+
+    probe_url_list: list[str] = []
+    for u in seeds:
+        b = u.rstrip("/")
+        probe_url_list += [
+            u, f"{b}/sitemap.xml", f"{b}/sitemap_index.xml",
+            f"https://{urlparse(u).netloc}/robots.txt",
+        ]
+    probe_pages = (
+        web_pages.select("url", "html")
+        .filter(F.col("url").isin(probe_url_list))
+        .cache()
+    )
+    probe_pages.count()  # materialize the cache before fan-out
+
     titled = (
-        seeds_df.join(pages_slim, seeds_df.seed_url == pages_slim.url, "left")
-        .select("seed_url", "seed_ix", Fx.title_udf(F.col("html")).alias("title"))
+        probes.join(
+            F.broadcast(probe_pages),
+            probes.seed_url == probe_pages.url, "left",
+        )
+        .drop("url")
+        .select("seed_url", "seed_ix", "sm1", "sm2",
+                Fx.title_udf(F.col("html")).alias("title"))
     )
     sid = Fx.site_id_udf()
     sites = titled.select(
-        "seed_url", "seed_ix",
+        "seed_url", "seed_ix", "sm1", "sm2",
         sid(F.coalesce(F.col("title"), F.lit("")), F.col("seed_url")).alias("site_id"),
     )
 
     # sitemap probe: /sitemap.xml then /sitemap_index.xml (helper.py:215-226)
-    base = F.regexp_replace(F.col("seed_url"), r"/+$", "")
-    probes = sites.select(
-        "*",
-        F.concat(base, F.lit("/sitemap.xml")).alias("sm1"),
-        F.concat(base, F.lit("/sitemap_index.xml")).alias("sm2"),
-    )
-    p1 = pages_slim.withColumnRenamed("html", "html1")
-    p2 = pages_slim.withColumnRenamed("html", "html2")
+    p1 = probe_pages.withColumnRenamed("html", "html1")
+    p2 = probe_pages.withColumnRenamed("html", "html2")
     probed = (
-        probes.join(p1, probes.sm1 == p1.url, "left").drop(p1.url)
-        .join(p2, probes.sm2 == p2.url, "left").drop(p2.url)
+        sites.join(F.broadcast(p1), sites.sm1 == p1.url, "left").drop(p1.url)
+        .join(F.broadcast(p2), sites.sm2 == p2.url, "left").drop(p2.url)
         .withColumn(
             "locs",
             F.when(F.col("html1").isNotNull(), Fx.parse_sitemap_udf(F.col("html1")))
             .when(F.col("html2").isNotNull(), Fx.parse_sitemap_udf(F.col("html2"))),
         )
         .select("seed_url", "seed_ix", "site_id", "locs")
-    )
+    ).cache()
 
     sitemap_entries = (
         probed.filter(F.size("locs") > 0)
@@ -159,8 +193,11 @@ def seed_round(
     )
     entries = _with_host(sitemap_entries.unionByName(bfs_entries))
 
-    robots = build_robots(spark, web_pages)
+    robots = build_robots(
+        spark, probe_pages.filter(F.col("url").endswith("/robots.txt"))
+    )
     catalog.write(robots, "robots", 0)
+    robots = catalog.read(spark, "robots", 0)
     entries = _drop_disallowed(entries, robots, cfg.politeness)
 
     frontier = global_sequence(
@@ -172,6 +209,7 @@ def seed_round(
         "url", "host", "depth", "site_id", "home_url", "sitemap_mode", "priority"
     )
     catalog.write(frontier, "frontier", 0)
+    frontier = catalog.read(spark, "frontier", 0)  # downstream reads back
 
     seen0 = (
         frontier.filter(~F.col("sitemap_mode"))
@@ -188,12 +226,15 @@ def seed_round(
         .withColumn("max", F.lit(cfg.budget_per_site))
     )
     catalog.write(budget0, "budget", 0)
+    probe_pages.unpersist()
+    probed.unpersist()
     catalog.write(
         spark.createDataFrame([], CRAWLED_SCHEMA), "crawled", 0
     )
 
-    n_frontier = frontier.count()
-    state = {"next_priority": n_frontier, "round": 0, "done": n_frontier == 0}
+    n_frontier = catalog.read(spark, "frontier", 0).count()
+    state = {"next_priority": n_frontier, "round": 0,
+             "done": n_frontier == 0, "frontier_size": n_frontier}
     catalog.write_state(0, state)
     return state
 
@@ -205,14 +246,17 @@ def run_round(
     cfg: CrawlConfig,
     round_: int,
     state: dict,
+    has_delays: bool | None = None,
 ) -> dict:
     """One fetch→extract→discover→dedup round; commits round snapshots."""
     frontier = catalog.read(spark, "frontier", round_ - 1)
     budget = catalog.read(spark, "budget", round_ - 1)
     robots = catalog.read(spark, "robots", 0)
+    if has_delays is None:
+        has_delays = not robots.filter(F.col("crawl_delay").isNotNull()).isEmpty()
 
     # ---- politeness: per-host quota, defer the rest (priority kept)
-    if cfg.politeness:
+    if cfg.politeness and has_delays:
         quota = F.when(
             F.col("crawl_delay").isNotNull(),
             F.greatest(F.lit(1), F.floor(F.lit(cfg.round_seconds) / F.col("crawl_delay"))),
@@ -220,19 +264,16 @@ def run_round(
         fr = frontier.join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
         unlimited = fr.filter(F.col("crawl_delay").isNull()).drop("crawl_delay")
         limited = fr.filter(F.col("crawl_delay").isNotNull())
-        if limited.isEmpty():
-            fetch_now, deferred = frontier, frontier.limit(0)
-        else:
-            top, rest = topk_per_group(
-                limited.withColumn("quota", quota),
-                "host",
-                ["priority"],
-                F.col("quota"),
-                salt=cfg.salt,
-                unique_col="url",
-            )
-            fetch_now = unlimited.unionByName(top.drop("crawl_delay", "quota"))
-            deferred = rest.drop("crawl_delay", "quota")
+        top, rest = topk_per_group(
+            limited.withColumn("quota", quota),
+            "host",
+            ["priority"],
+            F.col("quota"),
+            salt=cfg.salt,
+            unique_col="url",
+        )
+        fetch_now = unlimited.unionByName(top.drop("crawl_delay", "quota"))
+        deferred = rest.drop("crawl_delay", "quota")
     else:
         fetch_now, deferred = frontier, frontier.limit(0)
 
@@ -240,33 +281,48 @@ def run_round(
     fetch_now = fetch_now.filter(F.col("depth") < cfg.max_depth)
 
     # ---- fetch = equi-join against web_pages (S3); misses vanish like
-    # result.success=False does (crawler_service.py:62-70)
+    # result.success=False does (crawler_service.py:62-70).
+    # Extraction + link discovery run as ONE fused Arrow UDF (one
+    # decode+parse per page), evaluated EXACTLY ONCE: the result is
+    # committed straight to the round's crawled snapshot and every
+    # downstream stage (metrics, discover, frontier) re-reads the
+    # needed columns from that parquet.  A .persist() here would hold
+    # gigabytes of deserialized text on the JVM heap and stall in GC —
+    # columnar re-reads are strictly cheaper.
     fetched = (
         fetch_now.join(web_pages.select("url", "html"), "url", "inner")
-        .withColumn("text", Fx.extract_merged_text_udf(F.col("html")))
-    )
-    fetched.persist()
-    try:
-        crawled = fetched.select(
-            "url", "site_id", F.col("home_url").alias("base_url"), "text",
-            "depth", F.lit(round_).alias("round"), "priority",
+        .withColumn("page", Fx.extract_page_udf(F.col("html")))
+        .withColumn("html_len", F.length("html"))
+        .select(
+            "url", "site_id", F.col("home_url").alias("base_url"),
+            F.col("page.text").alias("text"), "depth",
+            F.lit(round_).alias("round"), "priority",
+            # extra columns beyond CRAWLED_SCHEMA (readers prune them)
+            "host", "sitemap_mode", "html_len",
+            F.col("page.links").alias("raw_links"),
         )
-        catalog.write(crawled, "crawled", round_)
+    )
+    try:
+        catalog.write(fetched, "crawled", round_)
+        crawled_back = catalog.read(spark, "crawled", round_)
 
         # ---- per-partition lineage + fetch metrics (S9/O5 analogue)
-        lineage = fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        lineage = crawled_back.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
             F.count("*").alias("pages_fetched"),
-            F.sum(F.length("html")).alias("bytes_fetched"),
+            F.sum("html_len").alias("bytes_fetched"),
         ).withColumn("round", F.lit(round_))
         catalog.write(lineage, "metrics", round_)
 
         # ---- discover (X2) on expanding pages only (F2/F3 gates)
-        expanding = fetched.filter(
+        expanding = crawled_back.filter(
             (~F.col("sitemap_mode")) & (F.col("depth") + 1 < cfg.max_depth)
         )
         links = expanding.select(
-            "url", "host", "site_id", "home_url", "depth", "priority",
-            Fx.discover_links_udf(F.col("html")).alias("raw_links"),
+            "url", "host", "site_id",
+            F.col("base_url").alias("home_url"), "depth", "priority",
+            "raw_links",
         )
         # F4 fragment strip → in-page dedup F6 → same-host F5 → canonical sort
         links = links.withColumn(
@@ -283,40 +339,51 @@ def run_round(
             "n_batches",
             F.ceil(F.size("internal") / F.lit(cfg.filter_batch_size)).cast("int"),
         ).drop("raw_links")
+        # materialize once: `links` feeds BOTH the children pipeline and
+        # the budget-spend aggregate, and broadcast-exchange jobs would
+        # otherwise re-execute this whole lineage per consumer
+        links = links.localCheckpoint(eager=True)
 
         # ---- budget (F9): only the first `budget` consuming pages per
-        # site can spend; bounded window after a salted top-k
-        consuming = links.filter(F.col("n_batches") > 0).join(
-            F.broadcast(budget), "site_id", "left"
-        )
-        cand, _over = topk_per_group(
-            consuming, "site_id", ["priority"], F.col("max"), salt=cfg.salt,
-            unique_col="url",
-        )
-        w = Window.partitionBy("site_id").orderBy("priority").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        cand = cand.withColumn(
-            "cum_before", F.coalesce(F.sum("n_batches").over(w), F.lit(0))
-        ).withColumn(
-            "allowed_batches",
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.col("n_batches"),
-                    F.col("max") - F.col("used") - F.col("cum_before"),
+        # site can spend; bounded window after a salted top-k.
+        # Fast path: an effectively-unlimited budget (throughput bench)
+        # can never gate a batch, so the dim join + two windows vanish.
+        if cfg.budget_per_site >= 2**30:
+            kept = links.filter(F.col("n_batches") > 0).withColumn(
+                "kept_links", Fx.rule_filter_links(F.col("internal"))
+            )
+        else:
+            consuming = links.filter(F.col("n_batches") > 0).join(
+                F.broadcast(budget), "site_id", "left"
+            )
+            cand, _over = topk_per_group(
+                consuming, "site_id", ["priority"], F.col("max"), salt=cfg.salt,
+                unique_col="url",
+            )
+            w = Window.partitionBy("site_id").orderBy("priority").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            cand = cand.withColumn(
+                "cum_before", F.coalesce(F.sum("n_batches").over(w), F.lit(0))
+            ).withColumn(
+                "allowed_batches",
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.col("n_batches"),
+                        F.col("max") - F.col("used") - F.col("cum_before"),
+                    ),
+                ).cast("int"),
+            )
+            kept = cand.filter(F.col("allowed_batches") > 0).withColumn(
+                "kept_links",
+                Fx.rule_filter_links(
+                    F.slice(
+                        F.col("internal"), 1,
+                        F.col("allowed_batches") * F.lit(cfg.filter_batch_size),
+                    )
                 ),
-            ).cast("int"),
-        )
-        kept = cand.filter(F.col("allowed_batches") > 0).withColumn(
-            "kept_links",
-            Fx.rule_filter_links(
-                F.slice(
-                    F.col("internal"), 1,
-                    F.col("allowed_batches") * F.lit(cfg.filter_batch_size),
-                )
-            ),
-        )
+            )
 
         # ---- children candidates (enqueue at depth+1, crawler_service.py:114-121)
         children = kept.select(
@@ -328,12 +395,14 @@ def run_round(
         children = _with_host(children)
         children = _drop_disallowed(children, robots, cfg.politeness)
 
-        # first-enqueuer wins within the round (FIFO semantics)
+        # first-enqueuer wins within the round (FIFO semantics).
+        # Materialized once — it is consumed three times (semi-join
+        # broadcast, anti-join, sequence numbering).
         firsts = children.groupBy("url").agg(
             F.min(
                 F.struct("parent_priority", "site_id", "home_url", "depth", "host")
             ).alias("w")
-        ).select("url", "w.*")
+        ).select("url", "w.*").localCheckpoint(eager=True)
 
         # ---- global seen-set anti-join (F8) against all committed deltas
         # only rounds strictly before this one — a partially-committed
@@ -344,7 +413,20 @@ def run_round(
             if r < round_
         ]
         seen = spark.read.parquet(*seen_paths).select("url")
-        new_items = firsts.join(seen, "url", "left_anti")
+        frontier_size = state.get("frontier_size") or 0
+        if frontier_size < cfg.broadcast_dedup_max_frontier:
+            # Bloom-prefiltered dedup: the seen-set (which grows every
+            # round) is NEVER shuffled — it is scanned once (url column
+            # only) against a broadcast semi-join with this round's
+            # candidates, and the small hit-set broadcasts back into a
+            # map-side anti-join.  SURVEY §4.2: Bloom/anti-join split —
+            # exactness always comes from the anti-join.
+            hits = seen.join(F.broadcast(firsts.select("url")), "url", "left_semi")
+            new_items = firsts.join(F.broadcast(hits), "url", "left_anti")
+        else:
+            # cluster-scale fallback: shuffle anti-join (bucketed seen
+            # via Iceberg bucket transform avoids the reshuffle there)
+            new_items = firsts.join(seen, "url", "left_anti")
 
         new_frontier_items = global_sequence(
             new_items, ["parent_priority", "url"], "priority",
@@ -376,17 +458,20 @@ def run_round(
         )
         catalog.write(new_budget, "budget", round_)
 
-        n_next = next_frontier.count()
+        # counts from the freshly-written parquet (zero-column scans;
+        # avoids recomputing the politeness/dedup lineage a second time)
+        n_new = catalog.read(spark, "seen_delta", round_).count()
+        n_next = catalog.read(spark, "frontier", round_).count()
         new_state = {
-            "next_priority": state["next_priority"]
-            + new_frontier_items.count(),
+            "next_priority": state["next_priority"] + n_new,
             "round": round_,
             "done": n_next == 0,
+            "frontier_size": n_next,
         }
         catalog.write_state(round_, new_state)
         return new_state
     finally:
-        fetched.unpersist()
+        pass
 
 
 def crawl(
@@ -396,6 +481,7 @@ def crawl(
     snapshot_root: str,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
+    timings: dict | None = None,
 ) -> SnapshotCatalog:
     """Run (or resume) a full crawl; returns the snapshot catalog.
 
@@ -412,13 +498,30 @@ def crawl(
         if latest is not None:
             state = latest[1]
     if state is None:
+        t0 = time.time()
         state = seed_round(spark, catalog, web_pages, seeds, cfg)
+        if timings is not None:
+            timings["seed_sec"] = round(time.time() - t0, 2)
 
+    # politeness machinery is skipped wholesale when no host declares a
+    # crawl-delay (checked once, not per round)
+    has_delays = False
+    if cfg.politeness:
+        robots = catalog.read(spark, "robots", 0)
+        has_delays = not robots.filter(F.col("crawl_delay").isNotNull()).isEmpty()
+
+    rounds_sec = 0.0
     while not state["done"] and state["round"] < cfg.max_rounds:
         t0 = time.time()
-        state = run_round(spark, catalog, web_pages, cfg, state["round"] + 1, state)
+        state = run_round(
+            spark, catalog, web_pages, cfg, state["round"] + 1, state,
+            has_delays=has_delays,
+        )
         dt = time.time() - t0
+        rounds_sec += dt
         print(f"[crawl] round {state['round']} in {dt:.1f}s done={state['done']}")
+    if timings is not None:
+        timings["rounds_sec"] = round(rounds_sec, 2)
     return catalog
 
 

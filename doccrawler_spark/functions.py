@@ -127,6 +127,30 @@ def extract_merged_text_udf(html: pd.Series) -> pd.Series:
     return html.map(one)
 
 
+_PAGE_SCHEMA = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+])
+
+
+@F.pandas_udf(_PAGE_SCHEMA)
+def extract_page_udf(html: pd.Series) -> pd.DataFrame:
+    """html BINARY → (merged text, raw links) in ONE decode+parse —
+    the fused X1+X2+X3+X4 stage the crawl round uses (one
+    ArrowEvalPython stage instead of two, one HTML parse per page)."""
+    texts, links = [], []
+    for b in html:
+        if b is None:
+            texts.append(None)
+            links.append(None)
+            continue
+        s = bytes(b).decode("utf-8", "replace")
+        md, hidden = extract_page(s)
+        texts.append(merge_content(md, hidden))
+        links.append(discover_links(s))
+    return pd.DataFrame({"text": texts, "links": links})
+
+
 def _decode(b) -> str | None:
     return None if b is None else bytes(b).decode("utf-8", "replace")
 

@@ -75,7 +75,7 @@ def hybrid_query(
     )
     topk = (
         df.withColumn("score", score)
-        .orderBy(F.desc("score"), F.asc("id"))  # deterministic tie-break
+        .orderBy(F.desc("score"), F.asc("url"), F.asc("id"))  # deterministic tie-break
         .limit(top_k)
     )
     if not rerank:
@@ -94,7 +94,7 @@ def hybrid_query(
         rr = F.lit(0.0)
     return (
         topk.withColumn("rerank_score", rr)
-        .orderBy(F.desc("rerank_score"), F.desc("score"), F.asc("id"))
+        .orderBy(F.desc("rerank_score"), F.desc("score"), F.asc("url"), F.asc("id"))
         .limit(top_n)
         .select("id", "url", "site_id", "chunked_data", "score", "rerank_score")
     )

@@ -61,6 +61,9 @@ class SiteSpec:
     branching: int = 3
     extra_links: int = 2
     lang: str = "en"
+    # multiplies body-text volume (bench tier uses realistic ~10 KB
+    # pages; real Common-Crawl HTML is tens of KB)
+    text_scale: int = 1
 
 
 @dataclass(frozen=True)
@@ -92,13 +95,17 @@ def small_spec() -> WebSpec:
     return WebSpec(sites=tuple(sites))
 
 
-def bench_spec(n_pages: int = 200_000, n_sites: int = 20) -> WebSpec:
-    """Bench tier: big BFS sites, one hot host (~40%), deep graphs."""
+def bench_spec(n_pages: int = 200_000, n_sites: int = 20,
+               text_scale: int = 8) -> WebSpec:
+    """Bench tier: big BFS sites, one hot host (~40%), deep graphs,
+    realistic ~10 KB pages."""
     hot = int(n_pages * 0.4)
     rest = (n_pages - hot) // (n_sites - 1)
-    sites = [SiteSpec("docs.hot.test", hot, branching=8, extra_links=3)]
+    sites = [SiteSpec("docs.hot.test", hot, branching=8, extra_links=3,
+                      text_scale=text_scale)]
     for k in range(n_sites - 1):
-        sites.append(SiteSpec(f"docs.site{k}.test", rest, branching=8, extra_links=3))
+        sites.append(SiteSpec(f"docs.site{k}.test", rest, branching=8,
+                              extra_links=3, text_scale=text_scale))
     return WebSpec(sites=tuple(sites))
 
 
@@ -165,6 +172,10 @@ def _page_html(spec: WebSpec, s: SiteSpec, i: int) -> str:
     parts.append(f"<p>{_sentence(rng, 18)}.</p>")
     parts.append(f"<h2>Usage {_sentence(rng, 2)}</h2>")
     parts.append(f"<p>{_sentence(rng, 24)}.</p>")
+    for k in range(s.text_scale - 1):
+        parts.append(f"<h2>Section {k} {_sentence(rng, 2)}</h2>")
+        parts.append(f"<p>{_sentence(rng, 60)}.</p>")
+        parts.append(f"<p>{_sentence(rng, 60)}.</p>")
     if i % 2 == 0:
         parts.append("<ul><li>step " + _sentence(rng, 4) + "</li><li>then "
                      + _sentence(rng, 4) + "</li></ul>")

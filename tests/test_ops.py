@@ -1,0 +1,143 @@
+"""Training-data ops: Spark results vs independent pure-Python
+recomputation on small corpora."""
+
+import hashlib
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+TEXTS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup
+    (2, "the quick brown fox leaps over the lazy dog", "en"),      # near dup
+    (3, "el rapido zorro marron salta sobre el perro", "es"),
+    (4, "completely different content about spark shuffles and joins", "en"),
+    (5, "The Quick  Brown FOX jumps over the lazy dog!!", "en"),   # normalized dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        [{"doc_id": i, "text": t, "lang": l, "source": "s", "n_chars": len(t)}
+         for i, t, l in TEXTS]
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def _norm(t):
+    return re.sub(r"[^a-zA-Z0-9]+", " ", t).lower().strip()
+
+
+def test_exact_dedup(spark, docs):
+    from doccrawler_spark.ops.dedup import exact_dedup
+
+    out = {r["fingerprint"]: (r["keeper_doc_id"], r["n_docs"])
+           for r in exact_dedup(docs).collect()}
+    fp = hashlib.md5(_norm(TEXTS[0][1]).encode()).hexdigest()
+    assert out[fp] == (0, 3)  # docs 0, 1, 5 collapse
+    assert sum(n for _, n in out.values()) == len(TEXTS)
+
+
+def test_ngram_jaccard(spark, docs):
+    from doccrawler_spark.ops.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 5)] == 1.0
+    # one word differs at position 4 of 9 → 4 common of 10 distinct shingles
+    assert pairs[(0, 2)] == pytest.approx(0.4)
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    from doccrawler_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, n=3, k=16, bands=4).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 5)] == 1.0
+    assert (3, 4) not in pairs
+
+
+def test_simhash_hamming(spark, docs):
+    from doccrawler_spark.ops.dedup import simhash64
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert h[0] == h[1] == h[5]            # identical token sets
+    ham = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[4]).count("1")
+    assert ham < ham_far                   # near-dup closer than unrelated
+
+
+def test_embedding_ops(spark):
+    from doccrawler_spark.ops.dedup import embedding_neardup_pairs
+    from doccrawler_spark.ops.similarity import cosine_topk, knn_join, lsh_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [1.0, 0.05, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    top = cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 3]
+
+    near = embedding_neardup_pairs(emb, threshold=0.9).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in near} == {(0, 1)}
+
+    lsh = lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2, n_bits=4).collect()
+    assert [r["vec_id"] for r in lsh] == [0, 3]
+
+    q = spark.createDataFrame([(100, [0.0, 1.0, 0.0, 0.0])],
+                              "q_id long, q_emb array<float>")
+    kj = knn_join(emb, q, k=1, n_bits=2).collect()
+    assert kj[0]["vec_id"] == 2
+
+
+def test_text_ops(spark, docs):
+    from doccrawler_spark.ops.text import (
+        fingerprints,
+        lang_id,
+        quality_scores,
+        token_stats,
+    )
+
+    ts = {r["doc_id"]: r["n_tokens"] for r in token_stats(docs).collect()}
+    assert ts[0] == 9
+    li = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert li[0] == "en" and li[3] == "es"
+    qs = {r["doc_id"]: r["quality"] for r in quality_scores(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in qs.values())
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert fp[0] == fp[1] == fp[5]
+
+
+def test_multimodal_plumbing(spark, docs):
+    from doccrawler_spark.ops.multimodal import (
+        decode_image,
+        documents_as_media,
+        extract_features,
+        frame_sample,
+    )
+
+    media = documents_as_media(docs)
+    feats = extract_features(media, n_features=8).collect()
+    assert len(feats) == len(TEXTS)
+    by_id = {r["media_id"]: r for r in feats}
+    # deterministic: identical payloads → identical features + sha
+    assert by_id[0]["features"] == by_id[1]["features"]
+    assert by_id[0]["sha"] == by_id[1]["sha"]
+    assert abs(sum(by_id[0]["features"]) - 1.0) < 1e-6
+
+    frames = frame_sample(media, every_ms=10).collect()
+    assert len(frames) > 0
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
