@@ -9,7 +9,7 @@ frontier crawl (fetch-join, extract UDF, discover, dedup, snapshots).
 Env knobs:
   SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1   (query corpus)
   SPARK_GRAFT_CPUS     default 32                     (local[N])
-  BENCH_PAGES          default 60000                  (crawl corpus)
+  BENCH_PAGES          default 240000                 (crawl corpus)
   BENCH_SKIP_QUERIES   set to skip the per-query section
 """
 
@@ -23,6 +23,23 @@ import tempfile
 import time
 
 
+def _warmup(spark) -> None:
+    """One throwaway Arrow-UDF job so every Python worker pays its
+    import cost before the clock starts — the bench measures the
+    engine's steady state, not interpreter startup."""
+    from doccrawler_spark import functions as Fx
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism * 4
+    (
+        spark.range(n).repartition(n)
+        .withColumn("h", F.encode(F.lit("<p>warm</p>"), "utf-8"))
+        .withColumn("page", Fx.extract_page_udf(F.col("h")))
+        .select(F.sum(F.length("page.text")))
+        .collect()
+    )
+
+
 def run_crawl_bench(spark, n_pages: int) -> dict:
     from doccrawler_spark.crawl import CrawlConfig, crawl, crawled_all
     from doccrawler_spark.webgen import bench_spec, gen_seeds, generate_web_pages_df
@@ -32,16 +49,21 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
     # engine, not /tmp flush stalls from earlier runs
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix="doccrawler_bench_", dir=tmp_base)
-    # corpus is a pure function of n_pages — cache it across runs
+    # corpus is a pure function of the spec — cache it across runs,
+    # keyed by every spec knob that changes page content
     cache_root = os.environ.get(
         "BENCH_WEB_CACHE",
         "/dev/shm/doccrawler_web_cache" if tmp_base else "/tmp/doccrawler_web_cache",
     )
-    web_path = os.path.join(cache_root, f"web_{n_pages}")
+    s0 = spec.sites[0]
+    web_path = os.path.join(
+        cache_root, f"web_{n_pages}_ts{s0.text_scale}_b{s0.branching}"
+    )
     t0 = time.time()
     if not os.path.exists(os.path.join(web_path, "_SUCCESS")):
         generate_web_pages_df(spark, spec).write.mode("overwrite").parquet(web_path)
     gen_s = time.time() - t0
+    _warmup(spark)
 
     web = spark.read.parquet(web_path)
     seeds = [s["seed_url"] for s in gen_seeds(spec)]
@@ -87,7 +109,7 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_pages = int(os.environ.get("BENCH_PAGES", "60000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "240000"))
 
     # constant partitioning across scaling runs: a real cluster keeps
     # the same plan/shuffle layout as executors scale, so the N-vs-4N

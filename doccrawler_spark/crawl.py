@@ -232,7 +232,7 @@ def seed_round(
         spark.createDataFrame([], CRAWLED_SCHEMA), "crawled", 0
     )
 
-    n_frontier = catalog.read(spark, "frontier", 0).count()
+    n_frontier = catalog.count("frontier", 0)
     state = {"next_priority": n_frontier, "round": 0,
              "done": n_frontier == 0, "frontier_size": n_frontier}
     catalog.write_state(0, state)
@@ -458,10 +458,10 @@ def run_round(
         )
         catalog.write(new_budget, "budget", round_)
 
-        # counts from the freshly-written parquet (zero-column scans;
-        # avoids recomputing the politeness/dedup lineage a second time)
-        n_new = catalog.read(spark, "seen_delta", round_).count()
-        n_next = catalog.read(spark, "frontier", round_).count()
+        # counts straight from the committed parquet footers — zero
+        # Spark jobs (avoids recomputing the politeness/dedup lineage)
+        n_new = catalog.count("seen_delta", round_)
+        n_next = catalog.count("frontier", round_)
         new_state = {
             "next_priority": state["next_priority"] + n_new,
             "round": round_,

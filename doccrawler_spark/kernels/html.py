@@ -137,8 +137,10 @@ class _FitMarkdownParser(HTMLParser):
             self._inline.append(data)
 
 
-def extract_page(html: str) -> tuple[str, dict[str, list[str]]]:
-    """Parse once → (fit_markdown, hidden_snippets {lang: [code,...]})."""
+def extract_page_reference(html: str) -> tuple[str, dict[str, list[str]]]:
+    """html.parser-based implementation — the semantic reference the
+    fast scanner below must match byte-for-byte (cross-checked by
+    tests/test_kernels.py::test_fast_parser_equivalence)."""
     p = _FitMarkdownParser()
     try:
         p.feed(html)
@@ -146,6 +148,185 @@ def extract_page(html: str) -> tuple[str, dict[str, list[str]]]:
     except Exception:
         pass
     return "\n\n".join(p.blocks), p.hidden
+
+
+# --------------------------------------------------------- fast scanner
+#
+# html.parser walks the input character-by-character in Python (~1 MB/s)
+# and dominated the crawl's per-page cost (~8 ms for a 10 KB page).  The
+# scanner below drives the SAME state machine at tag granularity using
+# C-speed regex search (~0.3-0.5 ms/page).  It reproduces
+# extract_page_reference byte-identically on well-formed HTML, including
+# html.parser quirks we must keep (entity decoding in data, CDATA
+# content mode for script/style, startend tags, comments/PIs dropped,
+# bare "<" treated as text).
+
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)"          # close-slash, name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"      # raw attrs (quote-aware)
+    r"(/?)>"
+)
+_STYLE_ATTR_RE = re.compile(
+    r"""(?:^|\s)style\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE)
+_CLASS_ATTR_RE = re.compile(
+    r"""(?:^|\s)class\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.IGNORECASE)
+_DISPLAY_NONE_RE = re.compile(r"display\s*:\s*none")
+
+
+def extract_page(html_s: str) -> tuple[str, dict[str, list[str]]]:
+    """Parse once → (fit_markdown, hidden_snippets {lang: [code,...]}).
+
+    Fast regex-scanner equivalent of :func:`extract_page_reference`
+    (X1+X3 fused — crawl4ai markdown + Playwright hidden-snippet pass,
+    crawler_config.py:5-26 / hidden_code_snippets_service.py:22-185).
+    """
+    import html as _html
+
+    blocks: list[str] = []
+    hidden: dict[str, list[str]] = {}
+    hidden_seen: set[str] = set()
+    hidden_depth = 0
+    skip_depth = 0
+    inline: list[str] = []
+    block_prefix = ""
+    in_block = False
+    pre_depth = 0
+    pre_lang = "text"
+    pre_buf: list[str] = []
+
+    def data(seg: str) -> None:
+        nonlocal inline
+        if skip_depth:
+            return
+        if "&" in seg:
+            seg = _html.unescape(seg)
+        if pre_depth:
+            pre_buf.append(seg)
+        elif in_block and not hidden_depth:
+            inline.append(seg)
+
+    def flush_inline() -> None:
+        nonlocal inline, in_block
+        if not in_block:
+            inline = []
+            return
+        text = _WS_RE.sub(" ", "".join(inline)).strip()
+        inline = []
+        in_block = False
+        if text:
+            blocks.append(f"{block_prefix}{text}" if block_prefix else text)
+
+    def start(tag: str, raw_attrs: str) -> None:
+        nonlocal skip_depth, hidden_depth, pre_depth, pre_lang, pre_buf
+        nonlocal in_block, block_prefix
+        if tag in ("script", "style", "head"):
+            skip_depth += 1
+            return
+        if skip_depth:
+            return
+        if hidden_depth:
+            hidden_depth += 1
+        else:
+            m = _STYLE_ATTR_RE.search(raw_attrs) if "=" in raw_attrs else None
+            if m:
+                v = next(g for g in m.groups() if g is not None)
+                if "&" in v:
+                    v = _html.unescape(v)
+                if _DISPLAY_NONE_RE.search(v):
+                    hidden_depth += 1
+        if tag == "pre":
+            pre_depth += 1
+            pre_buf = []
+            pre_lang = "text"
+            return
+        if tag == "code" and pre_depth:
+            m = _CLASS_ATTR_RE.search(raw_attrs)
+            if m:
+                v = next(g for g in m.groups() if g is not None)
+                if "&" in v:
+                    v = _html.unescape(v)
+                lm = _LANG_CLASS_RE.search(v)
+                if lm:
+                    pre_lang = lm.group(1).lower()
+            return
+        if pre_depth:
+            return
+        if tag in _BLOCK_TAGS and not hidden_depth:
+            flush_inline()
+            in_block = True
+            block_prefix = (
+                _HEADING_TAGS[tag] + " " if tag in _HEADING_TAGS
+                else "- " if tag == "li" else ""
+            )
+
+    def end(tag: str) -> None:
+        nonlocal skip_depth, hidden_depth, pre_depth
+        if tag in ("script", "style", "head"):
+            skip_depth = max(0, skip_depth - 1)
+            return
+        if skip_depth:
+            return
+        if tag == "pre" and pre_depth:
+            pre_depth -= 1
+            code = "".join(pre_buf).strip("\n")
+            if hidden_depth:
+                key = f"{pre_lang}\0{code}"
+                if code and key not in hidden_seen:
+                    hidden_seen.add(key)
+                    hidden.setdefault(pre_lang, []).append(code)
+            elif code:
+                blocks.append(f"```{pre_lang}\n{code}\n```")
+        if hidden_depth:
+            hidden_depth -= 1
+            return
+        if tag in _BLOCK_TAGS and not pre_depth:
+            flush_inline()
+
+    pos = 0
+    n = len(html_s)
+    find = html_s.find
+    tag_match = _TAG_RE.match
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            data(html_s[pos:])
+            break
+        if lt > pos:
+            data(html_s[pos:lt])
+        m = tag_match(html_s, lt)
+        if m:
+            closing, name, raw_attrs, selfclose = m.groups()
+            name = name.lower()
+            pos = m.end()
+            if closing:
+                end(name)
+            else:
+                start(name, raw_attrs)
+                if selfclose:
+                    end(name)
+                elif name in ("script", "style") and skip_depth:
+                    # html.parser CDATA mode: raw text until the
+                    # matching close tag, never parsed as markup
+                    cm = re.search(
+                        rf"</\s*{name}(?:\s[^>]*)?>", html_s[pos:], re.IGNORECASE
+                    )
+                    if cm:
+                        pos += cm.end()
+                        end(name)
+                    else:
+                        pos = n
+        elif html_s.startswith("<!--", lt):
+            e = find("-->", lt + 4)
+            pos = n if e < 0 else e + 3
+        elif lt + 1 < n and html_s[lt + 1] in "!?":
+            e = find(">", lt + 1)
+            pos = n if e < 0 else e + 1
+        else:
+            data("<")
+            pos = lt + 1
+    # NOTE: no flush at EOF — html.parser's state machine drops a block
+    # still open when input ends, and byte-identity includes that case
+    return "\n\n".join(blocks), hidden
 
 
 def extract_text(html: str) -> str:

@@ -92,6 +92,19 @@ class SnapshotCatalog:
     def exists(self, table: str, round_: int) -> bool:
         return os.path.exists(self._manifest_path(table, round_))
 
+    def count(self, table: str, round_: int) -> int:
+        """Exact row count from the snapshot's parquet footers — no
+        Spark job, no data scan (Iceberg equivalent: snapshot summary
+        record counts)."""
+        import pyarrow.parquet as pq
+
+        d = self.data_dir(table, round_)
+        total = 0
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
+        return total
+
     # ------------------------------------------------- driver state
     def write_state(self, round_: int, state: dict) -> None:
         d = os.path.join(self.root, "_crawl_state")

@@ -96,15 +96,18 @@ def small_spec() -> WebSpec:
 
 
 def bench_spec(n_pages: int = 200_000, n_sites: int = 20,
-               text_scale: int = 8) -> WebSpec:
-    """Bench tier: big BFS sites, one hot host (~40%), deep graphs,
-    realistic ~10 KB pages."""
+               text_scale: int = 24, branching: int = 16) -> WebSpec:
+    """Bench tier: big BFS sites, one hot host (~40%), realistic
+    ~23 KB pages (Common-Crawl HTML is tens of KB), branching 16 so
+    the frontier reaches fleet-width rounds quickly — per-round fixed
+    costs (snapshot commits, scheduling) amortize over fat rounds the
+    way they do at 10^10-URL scale."""
     hot = int(n_pages * 0.4)
     rest = (n_pages - hot) // (n_sites - 1)
-    sites = [SiteSpec("docs.hot.test", hot, branching=8, extra_links=3,
+    sites = [SiteSpec("docs.hot.test", hot, branching=branching, extra_links=3,
                       text_scale=text_scale)]
     for k in range(n_sites - 1):
-        sites.append(SiteSpec(f"docs.site{k}.test", rest, branching=8,
+        sites.append(SiteSpec(f"docs.site{k}.test", rest, branching=branching,
                               extra_links=3, text_scale=text_scale))
     return WebSpec(sites=tuple(sites))
 

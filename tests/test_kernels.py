@@ -195,3 +195,45 @@ def test_hybrid_score_alpha_bounds():
 def test_rerank_score():
     assert rerank_score("spark join", "spark joins everything with join") == 1.0
     assert rerank_score("spark join", "nothing relevant") == 0.0
+
+
+def test_fast_parser_equivalence():
+    """The regex-scanner extract_page must reproduce the html.parser
+    reference byte-identically on every well-formed input the fixture
+    generator can emit, plus hand-picked html.parser quirk cases."""
+    from doccrawler_spark.kernels.html import extract_page_reference
+    from doccrawler_spark.webgen import (
+        _page_html, _robots_txt, _sitemap_xml, small_spec, tiny_spec,
+    )
+
+    inputs = []
+    for spec in (tiny_spec(), small_spec()):
+        for s in spec.sites:
+            step = max(1, s.n_pages // 100)
+            inputs += [_page_html(spec, s, i) for i in range(0, s.n_pages, step)]
+            inputs += [_sitemap_xml(s), _robots_txt(s)]
+    inputs += [
+        "<p>unclosed block at eof",
+        "<p>a &amp; b &lt;c&gt; &#65;&#x42;</p>",
+        "<P>UPPER</P><H1>H</H1>",
+        "<!-- comment --><p>x<!-- inner --></p>",
+        "<!DOCTYPE html><?xml version='1.0'?><p>y</p>",
+        "<div style='display: none'><pre><code class='language-go'>g()</code></pre></div>",
+        '<div STYLE="display:none"><pre>hidden</pre></div>',
+        "<div style=display:none><pre>unquoted</pre></div>",
+        "<br/><p>self closed</p><div/><p>z</p>",
+        "<script>if (a<b) { emit('<p>no</p>'); }</script><p>after</p>",
+        "<style>p { color: red; }</style><p>after style</p>",
+        "<head><title>T</title><script>x</script></head><body><p>b</p></body>",
+        '<pre><code class="language-PYTHON">X</code></pre>',
+        "<pre>no code tag</pre>",
+        "<p>a < b and c > d</p>",
+        '<div style="display :none"><div><pre>deep hidden</pre></div></div>',
+        "<p>nested <a href=\"http://x\">anchor text</a> kept</p>",
+        "<pre><pre>nested pre</pre></pre>",
+        "<p></p><p>  </p><p>multi\n  line\n\ttext</p>",
+        "< p>bogus</p></p>stray<script>never closed",
+        "<p attr='<fake>'>quoted angle</p>",
+    ]
+    for h in inputs:
+        assert extract_page(h) == extract_page_reference(h), h[:200]
