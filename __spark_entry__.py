@@ -165,6 +165,26 @@ def _q_hybrid_topk(spark, sf_dir):
     ).select("id", "url", "site_id", "score", "rerank_score")
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Deterministic heading-aligned chunking (X5 stand-in) over the
+    documents table (non-SQL-expressible: markdown fence/heading state
+    machine; rows-only check, kernel equivalence is pinned by
+    tests/test_pipeline.py)."""
+    from doccrawler_spark.pipeline import chunk_pages
+
+    docs = _doc(spark, sf_dir, "documents")
+    crawled_like = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("source").alias("site_id"),
+        F.col("source").alias("base_url"),
+        F.col("text"),
+    )
+    return chunk_pages(crawled_like).select(
+        "url", "site_id", "chunk_ix", F.length("chunked_data").alias("chunk_chars"),
+        "is_summary",
+    ).orderBy("url", "chunk_ix")
+
+
 def _q_multimodal_features(spark, sf_dir):
     from doccrawler_spark.ops.multimodal import documents_as_media, extract_features
 
@@ -268,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "hybrid_topk": _q_hybrid_topk,
+        "chunk_documents": _q_chunk_documents,
         "multimodal_features": _q_multimodal_features,
         "groupby_agg": _q_groupby_agg,
         "broadcast_join": _q_broadcast_join,

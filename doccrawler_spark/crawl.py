@@ -43,9 +43,16 @@ from .snapshots import SnapshotCatalog
 
 FRONTIER_SCHEMA = (
     "url string, host string, depth int, site_id string, home_url string, "
-    "sitemap_mode boolean, priority long"
+    "sitemap_mode boolean, priority long, url_hash long, round int, "
+    "is_new boolean"
 )
-SEEN_SCHEMA = "url string, url_hash long, site_id string, depth int, round int"
+# the URL-seen set is carried INSIDE the frontier snapshots: rows with
+# is_new=true are this round's seen-delta (one write instead of two per
+# round; the anti-join scans frontier deltas' url column with the
+# is_new filter pushed into parquet)
+_FRONTIER_COLS = [
+    "url", "host", "depth", "site_id", "home_url", "sitemap_mode", "priority",
+]
 CRAWLED_SCHEMA = (
     "url string, site_id string, base_url string, text string, depth int, "
     "round int, priority long"
@@ -66,6 +73,13 @@ class CrawlConfig:
     # broadcast semi/anti path (seen never shuffled); above it, the
     # plain shuffle anti-join (bucketed seen at cluster scale)
     broadcast_dedup_max_frontier: int = 2_000_000
+    # frontier-size cutoff below which fetch uses an IN-list point
+    # lookup (parquet row-group stats pruning — the CDX-index pattern:
+    # a 12-URL round must not decode the whole corpus) instead of
+    # streaming the corpus through the join.  Parquet's In pushdown
+    # degrades (and eventually stack-overflows) past ~1k values, so
+    # keep this small; big rounds stream.
+    point_lookup_max_frontier: int = 512
 
 
 def _with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -205,20 +219,16 @@ def seed_round(
         ["seed_ix", "loc_ix", "url"],
         "priority",
         start=0,
+        num_partitions=1 if len(seeds) < 1000 else None,
     ).select(
-        "url", "host", "depth", "site_id", "home_url", "sitemap_mode", "priority"
+        *_FRONTIER_COLS,
+        F.xxhash64("url").alias("url_hash"),
+        F.lit(0).alias("round"),
+        # sitemap URLs are never added to the seen set
+        # (crawler_usecase.py:123-127); plain seeds are (:132)
+        (~F.col("sitemap_mode")).alias("is_new"),
     )
     catalog.write(frontier, "frontier", 0)
-    frontier = catalog.read(spark, "frontier", 0)  # downstream reads back
-
-    seen0 = (
-        frontier.filter(~F.col("sitemap_mode"))
-        .select(
-            "url", F.xxhash64("url").alias("url_hash"), "site_id", "depth",
-            F.lit(0).alias("round"),
-        )
-    )
-    catalog.write(seen0, "seen_delta", 0)
 
     budget0 = (
         sites.select("site_id").distinct()
@@ -289,8 +299,16 @@ def run_round(
     # needed columns from that parquet.  A .persist() here would hold
     # gigabytes of deserialized text on the JVM heap and stall in GC —
     # columnar re-reads are strictly cheaper.
+    corpus = web_pages.select("url", "html")
+    frontier_size = state.get("frontier_size") or 0
+    if 0 < frontier_size <= cfg.point_lookup_max_frontier:
+        # point-lookup fetch: push the round's URL list into the scan
+        # as an IN filter so parquet row-group stats prune the corpus
+        # (decodes only the row groups actually containing the URLs)
+        fetch_urls = [r["url"] for r in fetch_now.select("url").collect()]
+        corpus = corpus.filter(F.col("url").isin(fetch_urls))
     fetched = (
-        fetch_now.join(web_pages.select("url", "html"), "url", "inner")
+        fetch_now.join(corpus, "url", "inner")
         .withColumn("page", Fx.extract_page_udf(F.col("html")))
         .withColumn("html_len", F.length("html"))
         .select(
@@ -404,16 +422,21 @@ def run_round(
             ).alias("w")
         ).select("url", "w.*").localCheckpoint(eager=True)
 
-        # ---- global seen-set anti-join (F8) against all committed deltas
-        # only rounds strictly before this one — a partially-committed
-        # attempt of THIS round must not dedup against itself on resume
+        # ---- global seen-set anti-join (F8) against all committed
+        # frontier deltas (rows with is_new=true are the seen-set; the
+        # boolean filter pushes into the parquet scan).  Only rounds
+        # strictly before this one — a partially-committed attempt of
+        # THIS round must not dedup against itself on resume.
         seen_paths = [
-            catalog.data_dir("seen_delta", r)
-            for r in catalog.committed_rounds("seen_delta")
+            catalog.data_dir("frontier", r)
+            for r in catalog.committed_rounds("frontier")
             if r < round_
         ]
-        seen = spark.read.parquet(*seen_paths).select("url")
-        frontier_size = state.get("frontier_size") or 0
+        seen = (
+            spark.read.parquet(*seen_paths)
+            .filter(F.col("is_new"))
+            .select("url")
+        )
         if frontier_size < cfg.broadcast_dedup_max_frontier:
             # Bloom-prefiltered dedup: the seen-set (which grows every
             # round) is NEVER shuffled — it is scanned once (url column
@@ -428,23 +451,28 @@ def run_round(
             # via Iceberg bucket transform avoids the reshuffle there)
             new_items = firsts.join(seen, "url", "left_anti")
 
+        # size the range exchange to the data: early rounds are tiny and
+        # a single-partition window beats the two-phase sampling jobs
+        npart = 1 if frontier_size < 100_000 else None
         new_frontier_items = global_sequence(
             new_items, ["parent_priority", "url"], "priority",
-            start=state["next_priority"],
+            start=state["next_priority"], num_partitions=npart,
         ).withColumn("sitemap_mode", F.lit(False)).select(
-            "url", "host", "depth", "site_id", "home_url", "sitemap_mode", "priority"
+            *_FRONTIER_COLS,
+            F.xxhash64("url").alias("url_hash"),
+            F.lit(round_).alias("round"),
+            F.lit(True).alias("is_new"),
         )
 
-        next_frontier = deferred.select(
-            "url", "host", "depth", "site_id", "home_url", "sitemap_mode", "priority"
+        # deferred rows entered the seen set when first enqueued —
+        # re-snapshotting them must not re-mark them as deltas
+        next_frontier = deferred.select(*_FRONTIER_COLS).select(
+            "*",
+            F.xxhash64("url").alias("url_hash"),
+            F.lit(round_).alias("round"),
+            F.lit(False).alias("is_new"),
         ).unionByName(new_frontier_items)
         catalog.write(next_frontier, "frontier", round_)
-
-        seen_delta = new_frontier_items.select(
-            "url", F.xxhash64("url").alias("url_hash"), "site_id", "depth",
-            F.lit(round_).alias("round"),
-        )
-        catalog.write(seen_delta, "seen_delta", round_)
 
         # ---- budget update: used' = min(max, used + Σ n_batches)
         spend = links.groupBy("site_id").agg(F.sum("n_batches").alias("spent"))
@@ -458,9 +486,9 @@ def run_round(
         )
         catalog.write(new_budget, "budget", round_)
 
-        # counts straight from the committed parquet footers — zero
-        # Spark jobs (avoids recomputing the politeness/dedup lineage)
-        n_new = catalog.count("seen_delta", round_)
+        # counts straight from the committed parquet footers / a single
+        # driver-side column read — zero Spark jobs
+        n_new = catalog.count_true("frontier", round_, "is_new")
         n_next = catalog.count("frontier", round_)
         new_state = {
             "next_priority": state["next_priority"] + n_new,
@@ -533,5 +561,11 @@ def crawled_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
 
 
 def seen_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
-    paths = [catalog.data_dir("seen_delta", r) for r in catalog.committed_rounds("seen_delta")]
-    return spark.read.parquet(*paths)
+    """The URL-seen set = union of per-round frontier deltas
+    (url, url_hash, site_id, depth, round)."""
+    paths = [catalog.data_dir("frontier", r) for r in catalog.committed_rounds("frontier")]
+    return (
+        spark.read.parquet(*paths)
+        .filter(F.col("is_new"))
+        .select("url", "url_hash", "site_id", "depth", "round")
+    )

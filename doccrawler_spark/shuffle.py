@@ -38,8 +38,19 @@ def global_sequence(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = dense global sequence (start, start+1, ...)
-    following the total order of ``order_cols`` (must be unique)."""
+    following the total order of ``order_cols`` (must be unique).
+
+    ``num_partitions`` sizes the range exchange; callers that know the
+    input is small (early crawl rounds) pass 1, which skips the range
+    sampling + offset jobs entirely — a single-partition window is
+    cheaper than the two-phase machinery below ~100k rows."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    if int(n) == 1:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return (
+            df.coalesce(1)
+            .withColumn(out_col, F.row_number().over(w) - 1 + F.lit(start))
+        )
     ranged = df.repartitionByRange(int(n), *order_cols).withColumn(
         _SEQ_PID, F.spark_partition_id()
     )

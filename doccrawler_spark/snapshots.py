@@ -105,6 +105,21 @@ class SnapshotCatalog:
                 total += pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
         return total
 
+    def count_true(self, table: str, round_: int, column: str) -> int:
+        """Rows where a boolean ``column`` is true, by reading ONLY that
+        column driver-side via pyarrow — cheaper than a Spark job for
+        the small per-round control counts."""
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+
+        d = self.data_dir(table, round_)
+        total = 0
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, name), columns=[column])
+                total += pc.sum(pc.cast(t[column], "int64")).as_py() or 0
+        return total
+
     # ------------------------------------------------- driver state
     def write_state(self, round_: int, state: dict) -> None:
         d = os.path.join(self.root, "_crawl_state")
