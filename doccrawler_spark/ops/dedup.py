@@ -31,17 +31,31 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a (possibly single-file, single-row-group) scan across the
+    cluster before CPU-heavy per-row work.  Small driver-shipped tables
+    arrive as ONE partition; without this every downstream HOF/explode/
+    self-join runs in one task regardless of cores."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — word n-gram shingles of the normalized text,
-    distinct per doc.  JVM-native: sequence+transform+explode."""
-    toks = F.split(_norm_text(), " ")
+    distinct per doc.  JVM-native: sequence+transform+explode.
+
+    The token array is materialized as its own column FIRST: referencing
+    the raw split(...) expression inside the transform lambda would
+    re-run regexp_replace+split once per sequence element (no common
+    subexpression elimination across lambda scopes)."""
+    toked = _fan_out(documents, "doc_id").select(
+        "doc_id", F.split(_norm_text(), " ").alias("toks")
+    )
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.size("toks") - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
     )
-    return (
-        documents.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-    )
+    return toked.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -54,6 +68,20 @@ def ngram_jaccard_pairs(
     """
     sh = _shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # posting-list prune (result-preserving): a shingle held by a single
+    # doc cannot produce a pair — drop it before the self-join.  In a
+    # natural corpus most shingles are unique, so this removes most of
+    # the join input; the surviving hot shingles are what AQE's
+    # skew-join splitting is for.
+    shared = (
+        sh.groupBy("shingle").count().filter(F.col("count") > 1).select("shingle")
+    )
+    # repartition by the join key so the per-shingle quadratic work is
+    # spread across tasks (AQE would otherwise coalesce this small
+    # shuffle to one partition and serialize the whole join)
+    sh = sh.join(shared, "shingle", "left_semi").repartition(
+        sh.sparkSession.sparkContext.defaultParallelism, "shingle"
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -116,6 +144,12 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("doc_id", "sig", "bk.band", "bk.key")
+    # same posting-list prune at band-bucket granularity
+    shared = (
+        banded.groupBy("band", "key").count()
+        .filter(F.col("count") > 1).select("band", "key")
+    )
+    banded = banded.join(shared, ["band", "key"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
