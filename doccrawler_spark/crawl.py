@@ -153,12 +153,18 @@ def seed_round(
             u, f"{b}/sitemap.xml", f"{b}/sitemap_index.xml",
             f"https://{urlparse(u).netloc}/robots.txt",
         ]
-    probe_pages = (
+    # one pruned scan, then the ≤4·|seeds| surviving rows live in a
+    # driver-local relation: every downstream broadcast join references
+    # plain local data instead of re-executing corpus-scan lineage.
+    # (For 10^6+-seed crawls swap this collect for the cached-join path.)
+    probe_rows = (
         web_pages.select("url", "html")
         .filter(F.col("url").isin(probe_url_list))
-        .cache()
+        .collect()
     )
-    probe_pages.count()  # materialize the cache before fan-out
+    probe_pages = spark.createDataFrame(
+        probe_rows or [], "url string, html binary"
+    )
 
     titled = (
         probes.join(
@@ -236,11 +242,7 @@ def seed_round(
         .withColumn("max", F.lit(cfg.budget_per_site))
     )
     catalog.write(budget0, "budget", 0)
-    probe_pages.unpersist()
     probed.unpersist()
-    catalog.write(
-        spark.createDataFrame([], CRAWLED_SCHEMA), "crawled", 0
-    )
 
     n_frontier = catalog.count("frontier", 0)
     state = {"next_priority": n_frontier, "round": 0,
@@ -260,7 +262,11 @@ def run_round(
 ) -> dict:
     """One fetch→extract→discover→dedup round; commits round snapshots."""
     frontier = catalog.read(spark, "frontier", round_ - 1)
-    budget = catalog.read(spark, "budget", round_ - 1)
+    # unlimited budget (throughput mode) never gates and is never
+    # updated, so the budget table stays at its round-0 snapshot —
+    # one fewer read+write job per round
+    budget_gated = cfg.budget_per_site < 2**30
+    budget = catalog.read_upto(spark, "budget", round_ - 1) if budget_gated else None
     robots = catalog.read(spark, "robots", 0)
     if has_delays is None:
         has_delays = not robots.filter(F.col("crawl_delay").isNotNull()).isEmpty()
@@ -366,7 +372,7 @@ def run_round(
         # site can spend; bounded window after a salted top-k.
         # Fast path: an effectively-unlimited budget (throughput bench)
         # can never gate a batch, so the dim join + two windows vanish.
-        if cfg.budget_per_site >= 2**30:
+        if not budget_gated:
             kept = links.filter(F.col("n_batches") > 0).withColumn(
                 "kept_links", Fx.rule_filter_links(F.col("internal"))
             )
@@ -475,16 +481,18 @@ def run_round(
         catalog.write(next_frontier, "frontier", round_)
 
         # ---- budget update: used' = min(max, used + Σ n_batches)
-        spend = links.groupBy("site_id").agg(F.sum("n_batches").alias("spent"))
-        new_budget = (
-            budget.join(spend, "site_id", "left")
-            .withColumn(
-                "used",
-                F.least(F.col("max"), F.col("used") + F.coalesce("spent", F.lit(0)).cast("int")),
+        # (skipped entirely for unlimited budget — table stays at r0)
+        if budget_gated:
+            spend = links.groupBy("site_id").agg(F.sum("n_batches").alias("spent"))
+            new_budget = (
+                budget.join(spend, "site_id", "left")
+                .withColumn(
+                    "used",
+                    F.least(F.col("max"), F.col("used") + F.coalesce("spent", F.lit(0)).cast("int")),
+                )
+                .select("site_id", "used", "max")
             )
-            .select("site_id", "used", "max")
-        )
-        catalog.write(new_budget, "budget", round_)
+            catalog.write(new_budget, "budget", round_)
 
         # counts straight from the committed parquet footers / a single
         # driver-side column read — zero Spark jobs
@@ -557,6 +565,8 @@ def crawled_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
     """All crawled pages across rounds (url, site_id, base_url, text,
     depth, round, priority)."""
     paths = [catalog.data_dir("crawled", r) for r in catalog.committed_rounds("crawled")]
+    if not paths:
+        return spark.createDataFrame([], CRAWLED_SCHEMA)
     return spark.read.schema(CRAWLED_SCHEMA).parquet(*paths)
 
 

@@ -92,6 +92,17 @@ class SnapshotCatalog:
     def exists(self, table: str, round_: int) -> bool:
         return os.path.exists(self._manifest_path(table, round_))
 
+    def read_upto(self, spark, table: str, max_round: int):
+        """Read the latest snapshot committed at or before ``max_round``
+        (resume safety: a partially-committed later round stays
+        invisible)."""
+        rounds = [r for r in self.committed_rounds(table) if r <= max_round]
+        if not rounds:
+            raise FileNotFoundError(
+                f"no snapshot for table {table!r} at or before round {max_round}"
+            )
+        return self.read(spark, table, rounds[-1])
+
     def count(self, table: str, round_: int) -> int:
         """Exact row count from the snapshot's parquet footers — no
         Spark job, no data scan (Iceberg equivalent: snapshot summary
