@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Capture the physical plans of the engine's key operators and check
+the load-bearing plan properties (broadcast side, pushed filters,
+whole-stage codegen, TakeOrderedAndProject) — writes BENCH/PLANS.md."""
+
+from __future__ import annotations
+
+import datetime
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def plan_of(df) -> str:
+    """formatted plan + simple plan (the latter shows WholeStageCodegen
+    spans as *(n) stage markers)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+        print("\n-- simple (codegen stages marked *(n)) --")
+        df.explain()
+    return buf.getvalue()
+
+
+def main() -> None:
+    from doccrawler_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=8)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    sections: list[tuple[str, str, list[str]]] = []
+
+    # 1. fetch join: frontier (small) must broadcast; corpus must not shuffle
+    web = spark.createDataFrame(
+        [(f"https://h.test/{i}", bytearray(b"<p>x</p>")) for i in range(1000)],
+        "url string, html binary",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    web.write.parquet(f"{d}/web")
+    webp = spark.read.parquet(f"{d}/web")
+    fr = spark.createDataFrame([(f"https://h.test/{i}",) for i in range(40)], "url string")
+    fr.write.parquet(f"{d}/fr")
+    frp = spark.read.parquet(f"{d}/fr")
+    from doccrawler_spark import functions as Fx
+
+    fetch = frp.join(webp, "url", "inner").withColumn(
+        "page", Fx.extract_page_udf(F.col("html"))
+    )
+    sections.append((
+        "Fetch join (frontier ⋈ web_pages) + fused extract UDF",
+        plan_of(fetch),
+        ["BroadcastHashJoin", "ArrowEvalPython", "PushedFilters"],
+    ))
+
+    # 2. dedup groupBy: partial aggregation (map-side combine)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from doccrawler_spark.ops.dedup import exact_dedup
+
+    sections.append((
+        "Exact dedup (hash-groupBy, partial agg before shuffle)",
+        plan_of(exact_dedup(docs)),
+        ["partial_min", "partial_count", "Exchange", "*("],
+    ))
+
+    # 3. cosine top-k: TakeOrderedAndProject (per-partition top-k + merge)
+    from doccrawler_spark.ops.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    sections.append((
+        "Brute-force cosine top-k (orderBy+limit → TakeOrderedAndProject)",
+        plan_of(cosine_topk(emb, list(qv), k=10)),
+        ["TakeOrderedAndProject"],
+    ))
+
+    # 4. text ops: column pruning reaches the scan
+    from doccrawler_spark.ops.text import token_stats
+
+    sections.append((
+        "Token stats (scan must read only doc_id+text, codegen end-to-end)",
+        plan_of(token_stats(docs)),
+        ["ReadSchema: struct<doc_id", "*("],
+    ))
+
+    md = [f"# BENCH/PLANS — physical plans of key operators ({datetime.date.today()})",
+          "", "Regenerate with `python scripts/show_plans.py`. Each section lists",
+          "the plan properties asserted (present unless marked MISSING).", ""]
+    ok = True
+    for title, plan, checks in sections:
+        md.append(f"## {title}\n")
+        for c in checks:
+            mark = "present" if c in plan else "**MISSING**"
+            if c not in plan:
+                ok = False
+            md.append(f"- `{c}`: {mark}")
+        md.append("\n```\n" + plan.strip()[:4000] + "\n```\n")
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(md))
+    print("wrote BENCH/PLANS.md; all checks pass:", ok)
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
