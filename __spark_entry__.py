@@ -392,20 +392,32 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id, b.bit
             )
             SELECT doc_id,
-                   sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                        AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id ORDER BY doc_id
         """,
         "embedding_neardup": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
-            ORDER BY vec_a, vec_b
+            WITH banded AS (
+              SELECT vec_id, embedding, bb.band,
+                     list_aggregate(list_transform(
+                       list_slice(embedding, bb.band*8 + 1, bb.band*8 + 8),
+                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                       'string_agg', '') AS key
+              FROM embeddings, (SELECT unnest(range(0, 4)) AS band) bb
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     a.embedding AS emb_a, b.embedding AS emb_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            ), scored AS (
+              SELECT vec_a, vec_b,
+                     round(list_dot_product(emb_a::DOUBLE[], emb_b::DOUBLE[]) /
+                           (sqrt(list_dot_product(emb_a::DOUBLE[], emb_a::DOUBLE[])) *
+                            sqrt(list_dot_product(emb_b::DOUBLE[], emb_b::DOUBLE[]))), 6) AS cosine
+              FROM cand
+            )
+            SELECT vec_a, vec_b, cosine FROM scored
+            WHERE cosine >= 0.3 ORDER BY vec_a, vec_b
         """,
         "cosine_topk": """
             WITH q AS (
@@ -525,9 +537,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), s AS (
               SELECT user_id, value,
-                     sum(new_sess) OVER (PARTITION BY user_id
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_ix
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ix
               FROM g
             )
             SELECT user_id, session_ix, count(*) AS n_events,

@@ -69,7 +69,7 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
     seeds = [s["seed_url"] for s in gen_seeds(spec)]
     cfg = CrawlConfig(
         max_depth=10,
-        budget_per_site=1_000_000_000,  # throughput bench: no LLM budget cap
+        budget_per_site=2**31,  # ≥2**30 ⇒ takes the unlimited-budget fast path
         politeness=True,                # robots checked; no crawl delays set
         max_rounds=16,
     )

@@ -65,6 +65,7 @@ class CrawlConfig:
     budget_per_site: int = 50          # MAX_LLM_REQUEST_COUNT (readme.md:86)
     filter_batch_size: int = 180       # crawler_service.py:103
     politeness: bool = True            # north_rule addition (absent in ref)
+    track_errors: bool = True          # S8 error sink (error_repository.py:14-21)
     round_seconds: float = 60.0        # per-host quota = round_seconds/delay
     max_rounds: int = 64
     salt: int = 32                     # skew salt for hot-host windows
@@ -151,7 +152,7 @@ def seed_round(
         b = u.rstrip("/")
         probe_url_list += [
             u, f"{b}/sitemap.xml", f"{b}/sitemap_index.xml",
-            f"https://{urlparse(u).netloc}/robots.txt",
+            f"{urlparse(u).scheme}://{urlparse(u).netloc}/robots.txt",
         ]
     # one pruned scan, then the ≤4·|seeds| surviving rows live in a
     # driver-local relation: every downstream broadcast join references
@@ -187,10 +188,20 @@ def seed_round(
     probed = (
         sites.join(F.broadcast(p1), sites.sm1 == p1.url, "left").drop(p1.url)
         .join(F.broadcast(p2), sites.sm2 == p2.url, "left").drop(p2.url)
+        # fall through on PARSE RESULT, not file presence: an existing
+        # sitemap.xml with zero <loc> urls falls back to
+        # /sitemap_index.xml (helper.py:219-225 — "if urls_found: break")
+        .withColumn(
+            "locs1",
+            F.when(F.col("html1").isNotNull(), Fx.parse_sitemap_udf(F.col("html1"))),
+        )
+        .withColumn(
+            "locs2",
+            F.when(F.col("html2").isNotNull(), Fx.parse_sitemap_udf(F.col("html2"))),
+        )
         .withColumn(
             "locs",
-            F.when(F.col("html1").isNotNull(), Fx.parse_sitemap_udf(F.col("html1")))
-            .when(F.col("html2").isNotNull(), Fx.parse_sitemap_udf(F.col("html2"))),
+            F.when(F.size("locs1") > 0, F.col("locs1")).otherwise(F.col("locs2")),
         )
         .select("seed_url", "seed_ix", "site_id", "locs")
     ).cache()
@@ -338,6 +349,22 @@ def run_round(
             F.sum("html_len").alias("bytes_fetched"),
         ).withColumn("round", F.lit(round_))
         catalog.write(lineage, "metrics", round_)
+
+        # ---- error sink (S8): fetch misses — frontier rows that found
+        # no corpus page — land in a per-round `errors` snapshot instead
+        # of silently vanishing (ref error_repository.py:14-21, producer
+        # crawler_service.py:62-70).  Anti-join against the committed
+        # crawled urls; extraction itself is total (regex scanner), so
+        # fetch misses are the only failure class here.
+        if cfg.track_errors:
+            misses = fetch_now.join(
+                crawled_back.select("url"), "url", "left_anti"
+            ).select(
+                "url", "host", "site_id", "depth",
+                F.lit(round_).alias("round"), "priority",
+                F.lit("fetch_miss").alias("reason"),
+            )
+            catalog.write(misses, "errors", round_)
 
         # ---- discover (X2) on expanding pages only (F2/F3 gates)
         expanding = crawled_back.filter(
@@ -503,6 +530,10 @@ def run_round(
             "round": round_,
             "done": n_next == 0,
             "frontier_size": n_next,
+            # surfaced error count (parquet-footer read, no Spark job)
+            "n_errors": (
+                catalog.count("errors", round_) if cfg.track_errors else None
+            ),
         }
         catalog.write_state(round_, new_state)
         return new_state
@@ -568,6 +599,20 @@ def crawled_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
     if not paths:
         return spark.createDataFrame([], CRAWLED_SCHEMA)
     return spark.read.schema(CRAWLED_SCHEMA).parquet(*paths)
+
+
+ERRORS_SCHEMA = (
+    "url string, host string, site_id string, depth int, round int, "
+    "priority long, reason string"
+)
+
+
+def errors_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
+    """All logged crawl errors across rounds (S8 sink)."""
+    paths = [catalog.data_dir("errors", r) for r in catalog.committed_rounds("errors")]
+    if not paths:
+        return spark.createDataFrame([], ERRORS_SCHEMA)
+    return spark.read.schema(ERRORS_SCHEMA).parquet(*paths)
 
 
 def seen_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:

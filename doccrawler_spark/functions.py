@@ -55,13 +55,15 @@ def strip_fragment_col(url: Column) -> Column:
 
 
 def host_col(url: Column) -> Column:
-    """netloc of an absolute URL (JVM-side regex)."""
-    return F.regexp_extract(url, r"^https?://([^/\s]+)", 1)
+    """netloc of an absolute URL (JVM-side regex).  ``?`` and ``#`` end
+    the authority just like ``/`` does — urlparse().netloc semantics
+    ('https://host?x=1' → 'host', not 'host?x=1')."""
+    return F.regexp_extract(url, r"^https?://([^/?#\s]+)", 1)
 
 
 def path_col(url: Column) -> Column:
     """path (+query) of an absolute URL — robots prefixes match on it."""
-    return F.regexp_replace(url, r"^https?://[^/\s]+", "")
+    return F.regexp_replace(url, r"^https?://[^/?#\s]+", "")
 
 
 def keep_url_col(url: Column) -> Column:

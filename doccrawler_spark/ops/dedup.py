@@ -35,8 +35,14 @@ def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
     """Spread a (possibly single-file, single-row-group) scan across the
     cluster before CPU-heavy per-row work.  Small driver-shipped tables
     arrive as ONE partition; without this every downstream HOF/explode/
-    self-join runs in one task regardless of cores."""
+    self-join runs in one task regardless of cores.
+
+    Gated on the input's actual partition count: a table that already
+    has ≥ cores partitions (any real cluster-scale scan) passes through
+    untouched — no gratuitous full shuffle of 100 TB."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
@@ -51,21 +57,37 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     toked = _fan_out(documents, "doc_id").select(
         "doc_id", F.split(_norm_text(), " ").alias("toks")
     )
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
-    )
+    # Guard short docs: sequence(0, size-n) DESCENDS when size < n, and
+    # slice(toks, i+1, n) with a non-positive start throws at runtime.
+    # A doc with fewer than n tokens has zero shingles (matches the
+    # oracle's range(0, len-n+1) → empty list).
+    sh = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return toked.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.6
+    documents: DataFrame, n: int = 3, threshold: float = 0.6,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs with word-n-gram Jaccard ≥ threshold.
 
     Blocked self-join on shared shingles (a pair is only scored if it
     shares ≥1 shingle), |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|.
-    """
+
+    ``max_df`` is the stop-shingle cap: a shingle held by more than
+    max_df docs (boilerplate — nav bars, license headers) is dropped
+    from the posting-list join so one hot shingle can't go quadratic
+    (100k docs sharing one shingle = 5·10^9 pairs in a single join
+    key).  Exact below the cap; above it, pairs sharing only
+    stop-shingles are missed and surviving pairs score a lower-bound
+    Jaccard (stop-shingles leave the intersection count but not the
+    union) — the standard candidate-prefilter tradeoff."""
     sh = _shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # posting-list prune (result-preserving): a shingle held by a single
@@ -73,9 +95,10 @@ def ngram_jaccard_pairs(
     # natural corpus most shingles are unique, so this removes most of
     # the join input; the surviving hot shingles are what AQE's
     # skew-join splitting is for.
-    shared = (
-        sh.groupBy("shingle").count().filter(F.col("count") > 1).select("shingle")
-    )
+    df_per_shingle = sh.groupBy("shingle").count()
+    if max_df is not None:
+        df_per_shingle = df_per_shingle.filter(F.col("count") <= max_df)
+    shared = df_per_shingle.filter(F.col("count") > 1).select("shingle")
     # repartition by the join key so the per-shingle quadratic work is
     # spread across tasks (AQE would otherwise coalesce this small
     # shuffle to one partition and serialize the whole join)
@@ -205,17 +228,58 @@ def simhash64(documents: DataFrame) -> DataFrame:
     )
 
 
+def _band_keys(emb_col, n_bands: int, band_bits: int):
+    """ARRAY<STRUCT<band,key>> of banded sign-bit LSH keys: band b's key
+    is the sign pattern of dims [b·band_bits, (b+1)·band_bits).  Two
+    vectors with cosine near 1 share almost every sign bit, so they
+    collide in ≥1 band with high probability; portable to the DuckDB
+    oracle (pure CASE/concat arithmetic, same key both sides)."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("", *[
+                # F.get (not getItem): NULL past the array end instead of
+                # an ANSI INVALID_ARRAY_INDEX — short vectors pad with "0"
+                F.when(F.get(emb_col, b * band_bits + i) >= 0, F.lit("1"))
+                .otherwise(F.lit("0"))
+                for i in range(band_bits)
+            ]).alias("key"),
+        )
+        for b in range(n_bands)
+    ])
+
+
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame, threshold: float = 0.95,
+    n_bands: int = 4, band_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold, blocked by label
-    (at scale the blocking key is an LSH bucket; `label` stands in as
-    the coarse partition so the join is never all-pairs)."""
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    """Near-dup pairs by embedding cosine ≥ threshold, blocked by banded
+    sign-bit LSH buckets — candidate pairs collide in ≥1 of ``n_bands``
+    bands (sign pattern of ``band_bits`` consecutive dims), never
+    all-pairs.  Exact cosine is then computed per candidate; standard
+    LSH recall semantics (a true pair that differs in every band is
+    missed — more bands trade compute for recall)."""
+    banded = embeddings.select(
+        "vec_id", "embedding",
+        F.explode(_band_keys(F.col("embedding"), n_bands, band_bits)).alias("bk"),
+    ).select("vec_id", "embedding", "bk.band", "bk.key")
+    # singleton-bucket prune: a (band,key) held by one vector yields no pair
+    shared = (
+        banded.groupBy("band", "key").count()
+        .filter(F.col("count") > 1).select("band", "key")
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label"
+    banded = banded.join(shared, ["band", "key"], "left_semi")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"), F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     # cast float32 → double BEFORE multiplying so the arithmetic matches
     # the (double-precision) DuckDB oracle bit-for-bit
@@ -231,9 +295,8 @@ def embedding_neardup_pairs(
         )
     )
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand
         .withColumn("cosine", F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6))
         .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "label", "cosine")
+        .select("vec_a", "vec_b", "cosine")
     )

@@ -90,11 +90,20 @@ def all_chunks(crawled: DataFrame) -> DataFrame:
     return chunk_pages(crawled).unionByName(summary_chunks(crawled))
 
 
-def fit_bm25_distributed(chunks: DataFrame) -> embed_k.BM25Stats:
+def fit_bm25_distributed(
+    chunks: DataFrame, max_vocab: int = 1_000_000
+) -> embed_k.BM25Stats:
     """Corpus-wide BM25 stats with distributed DF/agg computation:
     document frequencies via explode+distinct+groupBy (map-side partial
     aggregation), avgdl via one avg — only the (term → df) vocabulary
-    is collected, never the corpus."""
+    is collected, never the corpus.
+
+    The collected vocabulary is BOUNDED: top ``max_vocab`` terms by
+    document frequency (TakeOrdered, never a full-vocab driver
+    materialization — a web-scale corpus has 10^8+ distinct tokens).
+    Terms past the cap score as idf 0 at query time; their idf is
+    near-constant-maximal anyway, so the cap only drops ultra-rare-term
+    discrimination, never common-term ranking."""
     toks = chunks.select(
         F.col("chunked_data").alias("t"),
         F.array_distinct(
@@ -107,10 +116,15 @@ def fit_bm25_distributed(chunks: DataFrame) -> embed_k.BM25Stats:
             F.lower(F.regexp_replace("chunked_data", "[^a-zA-Z0-9]+", " "))
         ), " +"))).alias("avgdl"),
     ).collect()[0]
-    df_rows = (
+    df_agg = (
         toks.select(F.explode("toks").alias("tok"))
         .filter(F.col("tok") != "")
-        .groupBy("tok").count().collect()
+        .groupBy("tok").count()
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-N then a driver merge of N-row heaps — bounded memory
+    df_rows = (
+        df_agg.orderBy(F.desc("count"), F.asc("tok")).limit(max_vocab).collect()
     )
     import math
 

@@ -19,22 +19,46 @@ from . import functions as Fx
 from .kernels import embed as embed_k
 
 
-def filters_to_predicates(filters: dict | None):
+def _is_array_field(schema, key: str) -> bool:
+    """True when metadata.<key> is ARRAY-typed in the vectors schema."""
+    if schema is None:
+        return False
+    try:
+        from pyspark.sql import types as T
+
+        meta = schema["metadata"].dataType
+        return isinstance(meta[key].dataType, T.ArrayType)
+    except (KeyError, TypeError):
+        return False
+
+
+def filters_to_predicates(filters: dict | None, schema=None):
     """Q2 filter-dialect transform (query_usecase.py:41-62):
     str → $in [v] → isin; list → $in → isin; bool → $eq → ==;
-    None → $exists false → isNull.  Keys address metadata fields."""
+    None → $exists false → isNull.  Keys address metadata fields.
+
+    Pinecone ``$in`` against a LIST-typed metadata field (``domains``,
+    ``subdomains``) matches on element OVERLAP, not value equality —
+    pass the vectors schema so array fields get arrays_overlap /
+    array_contains instead of an (always-false) isin."""
     preds = []
     for k, v in (filters or {}).items():
         c = F.col(f"metadata.{k}")
+        arr = _is_array_field(schema, k)
         if v is None:
             preds.append(c.isNull())
         elif isinstance(v, bool):
             # metadata booleans are normalized to lowercase strings (X9)
             preds.append(c == str(v).lower())
         elif isinstance(v, str):
-            preds.append(c.isin([v]))
+            preds.append(F.array_contains(c, v) if arr else c.isin([v]))
         elif isinstance(v, (list, tuple)):
-            preds.append(c.isin(list(v)))
+            if arr:
+                preds.append(
+                    F.arrays_overlap(c, F.array(*[F.lit(x) for x in v]))
+                )
+            else:
+                preds.append(c.isin(list(v)))
         else:
             preds.append(c == v)
     return preds
@@ -62,7 +86,7 @@ def hybrid_query(
     qmap = dict(zip(sq_idx, sq_val))
 
     df = vectors
-    for p in filters_to_predicates(filters):
+    for p in filters_to_predicates(filters, vectors.schema):
         df = df.filter(p)
 
     dense_lit = F.array(*[F.lit(float(x)) for x in dense_q])

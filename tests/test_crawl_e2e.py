@@ -140,6 +140,22 @@ def test_resume_from_checkpoint(spark, tmp_path):
     _assert_equivalent(spark, oracle, catalog, golden)
 
 
+def test_error_sink_records_fetch_misses(spark, tmp_path):
+    """S8: every dead link (fixture seeds one every 7th page) lands in
+    the errors table with reason=fetch_miss — exactly the urls the
+    oracle records as misses (ref error_repository.py:14-21)."""
+    from doccrawler_spark.crawl import errors_all
+
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, tiny_spec(), max_depth=3, politeness=True
+    )
+    errs = errors_all(spark, catalog).collect()
+    assert len(errs) > 0, "fixture has dead links; errors table is empty"
+    assert all(r["reason"] == "fetch_miss" for r in errs)
+    assert {r["url"] for r in errs} == set(oracle.misses)
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
 def test_invariants(spark, tmp_path):
     """Property checks: no URL fetched twice per site, nothing at depth
     >= MAX_DEPTH, seen-set monotone (SURVEY.md §5.2 item 4)."""

@@ -63,6 +63,44 @@ def test_minhash_lsh_finds_dups(spark, docs):
     assert (3, 4) not in pairs
 
 
+def test_short_docs_produce_zero_shingles(spark):
+    """A doc with fewer than n tokens must yield no shingles (and must
+    not crash sequence/slice with a descending range)."""
+    from doccrawler_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    pdf = pd.DataFrame([
+        {"doc_id": 0, "text": "", "lang": "en", "source": "s", "n_chars": 0},
+        {"doc_id": 1, "text": "!!!", "lang": "en", "source": "s", "n_chars": 3},
+        {"doc_id": 2, "text": "one two", "lang": "en", "source": "s", "n_chars": 7},
+        {"doc_id": 3, "text": "the quick brown fox jumps", "lang": "en",
+         "source": "s", "n_chars": 25},
+        {"doc_id": 4, "text": "the quick brown fox jumps", "lang": "en",
+         "source": "s", "n_chars": 25},
+    ])
+    docs = spark.createDataFrame(pdf)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()}
+    assert pairs == {(3, 4)}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in minhash_lsh_pairs(docs, n=3).collect()}
+    assert lsh == {(3, 4)}
+
+
+def test_stop_shingle_cap_prunes_hot_shingles(spark):
+    """max_df drops a boilerplate shingle from candidate generation:
+    docs that share ONLY the hot shingle stop pairing."""
+    from doccrawler_spark.ops.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved"
+    rows = [{"doc_id": i, "text": f"{boiler} unique{i} alpha{i} beta{i}",
+             "lang": "en", "source": "s", "n_chars": 40} for i in range(6)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=3).collect()
+    assert capped == []
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=None).collect()
+    assert len(uncapped) == 15  # all C(6,2) pairs share the hot shingle
+
+
 def test_simhash_hamming(spark, docs):
     from doccrawler_spark.ops.dedup import simhash64
 
@@ -89,8 +127,18 @@ def test_embedding_ops(spark):
     top = cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
     assert [r["vec_id"] for r in top] == [0, 3]
 
+    # LSH blocking (not label): 0/1/3 all share sign pattern "1000…" →
+    # same bucket; all their pairwise cosines clear 0.9
     near = embedding_neardup_pairs(emb, threshold=0.9).collect()
-    assert {(r["vec_a"], r["vec_b"]) for r in near} == {(0, 1)}
+    assert {(r["vec_a"], r["vec_b"]) for r in near} == {(0, 1), (0, 3), (1, 3)}
+    # a vector in a different sign bucket is never a candidate, even at
+    # threshold 0 (LSH recall semantics)
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]), (1, [-1.0, -1.0, -1.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    near2 = embedding_neardup_pairs(emb2, threshold=-1.0, n_bands=1, band_bits=4)
+    assert near2.collect() == []
 
     lsh = lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2, n_bits=4).collect()
     assert [r["vec_id"] for r in lsh] == [0, 3]

@@ -96,6 +96,50 @@ def test_metadata_filters(spark, vectors):
     assert len(got) == len(DOCS)
 
 
+def test_array_metadata_filters(spark):
+    """Pinecone $in against a LIST-typed metadata field matches on
+    element OVERLAP (query_usecase.py:41-62 builds {"$in": v} for
+    lists) — not Column.isin, which is invalid on array columns."""
+    from doccrawler_spark.pipeline import CHUNKS_SCHEMA
+
+    rows = [
+        {
+            "url": u, "site_id": "s", "chunk_ix": 0, "chunked_data": t,
+            "metadata": {
+                "sdk_framework_name": "s", "base_url": "s", "href": u,
+                "sdk_framework": "sdk", "has_code_snippet": False,
+                "version": None, "domains": doms, "subdomains": [],
+            },
+            "is_summary": False,
+        }
+        for u, t, doms in [
+            ("u0", "alpha text", ["ML", "Data"]),
+            ("u1", "beta text", ["Web"]),
+            ("u2", "gamma text", []),
+        ]
+    ]
+    chunks = spark.createDataFrame(pd.DataFrame(rows), schema=CHUNKS_SCHEMA)
+    vec, stats = build_vectors(spark, chunks, dim=32)
+    # list filter → arrays_overlap (domains are lowercased by X9)
+    got = hybrid_query(
+        vec, "text", alpha=1.0, top_k=10,
+        filters={"domains": ["ml", "search"]}, stats=stats, dim=32, rerank=False,
+    ).collect()
+    assert {r["url"] for r in got} == {"u0"}
+    # str filter on an array field → array_contains
+    got = hybrid_query(
+        vec, "text", alpha=1.0, top_k=10,
+        filters={"domains": "web"}, stats=stats, dim=32, rerank=False,
+    ).collect()
+    assert {r["url"] for r in got} == {"u1"}
+    # no overlap → empty
+    got = hybrid_query(
+        vec, "text", alpha=1.0, top_k=10,
+        filters={"domains": ["nosuch"]}, stats=stats, dim=32, rerank=False,
+    ).collect()
+    assert got == []
+
+
 def test_rerank_ordering(spark, vectors):
     vec, stats = vectors
     q = "politeness crawl frontier"
