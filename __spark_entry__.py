@@ -109,6 +109,18 @@ def _q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, list(qv), k=10, n_bits=8)
 
 
+def _q_knn_join(spark, sf_dir):
+    """Bulk ANN: top-5 neighbors for each of the first 5 vectors,
+    bucket equi-join (sign of first 4 dims) + per-query window."""
+    from doccrawler_spark.ops.similarity import knn_join
+
+    emb = _doc(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return knn_join(emb, q, k=5, n_bits=4).orderBy("q_id", "vec_id")
+
+
 def _q_token_stats(spark, sf_dir):
     from doccrawler_spark.ops.text import token_stats
 
@@ -133,14 +145,18 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprints(_doc(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+_HYBRID_QUERY_TEXT = "spark shuffle partition join"
+
+
 def _q_hybrid_topk(spark, sf_dir):
-    """Hybrid dense+sparse retrieval over vectors built from documents
-    (non-SQL-expressible: hash embedder + BM25 fit; rows-only check,
-    full equivalence is covered by tests/test_query.py)."""
+    """Hybrid dense+sparse retrieval over vectors built from documents.
+    The md5 hashing-trick embedder + BM25 arithmetic are replayed
+    exactly by the DuckDB oracle (same md5 slots/signs, same integer
+    slot sums, same float32 storage rounding)."""
     from doccrawler_spark.pipeline import build_vectors
     from doccrawler_spark.query import hybrid_query
 
-    docs = _doc(spark, sf_dir, "documents").limit(2000)
+    docs = _doc(spark, sf_dir, "documents")
     chunks = docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("source").alias("site_id"),
@@ -160,24 +176,32 @@ def _q_hybrid_topk(spark, sf_dir):
     )
     vectors, stats = build_vectors(spark, chunks, dim=64)
     return hybrid_query(
-        vectors, "spark shuffle partition join", alpha=0.5, top_k=20, top_n=10,
+        vectors, _HYBRID_QUERY_TEXT, alpha=0.5, top_k=20, top_n=10,
         stats=stats, dim=64,
-    ).select("id", "url", "site_id", "score", "rerank_score")
+    ).select(
+        "id", "url", "site_id",
+        F.round("score", 6).alias("score"),
+        F.round("rerank_score", 6).alias("rerank_score"),
+    )
 
 
 def _q_chunk_documents(spark, sf_dir):
-    """Deterministic heading-aligned chunking (X5 stand-in) over the
-    documents table (non-SQL-expressible: markdown fence/heading state
-    machine; rows-only check, kernel equivalence is pinned by
-    tests/test_pipeline.py)."""
+    """Deterministic heading-aligned chunking (X5) over markdown
+    synthesized from the documents table: two headed sections per doc
+    exercise the heading split AND the min-chunk merge rule; the DuckDB
+    oracle restates both rules in closed form (rich fence/re-homing
+    paths are pinned by tests/test_pipeline.py goldens)."""
     from doccrawler_spark.pipeline import chunk_pages
 
     docs = _doc(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# Guide\n"), F.col("text"), F.lit("\n## Usage\n"), F.col("text")
+    )
     crawled_like = docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("source").alias("site_id"),
         F.col("source").alias("base_url"),
-        F.col("text"),
+        md.alias("text"),
     )
     return chunk_pages(crawled_like).select(
         "url", "site_id", "chunk_ix", F.length("chunked_data").alias("chunk_chars"),
@@ -283,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
         "lsh_topk": _q_lsh_topk,
+        "knn_join": _q_knn_join,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -299,6 +324,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------ oracle SQL
+
+
+def _tiny_crawl_golden_sql() -> str:
+    """VALUES-literal oracle for the flagship crawl: golden rows from
+    the SEQUENTIAL oracle (tests/oracle.py — an independent pure-Python
+    reimplementation of the reference crawl semantics, no Spark), over
+    the same deterministic tiny web ``entry()`` crawls."""
+    import importlib.util
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "_seq_oracle", os.path.join(here, "tests", "oracle.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod  # dataclasses resolves cls.__module__
+    spec.loader.exec_module(mod)
+
+    from doccrawler_spark.webgen import gen_seeds, gen_web_pages, tiny_spec
+
+    web_spec = tiny_spec()
+    pages = {
+        r["url"]: r["html"].decode("utf-8") for r in gen_web_pages(web_spec)
+    }
+    seeds = [s["seed_url"] for s in gen_seeds(web_spec)]
+    res = mod.SequentialOracle(pages, mod.OracleConfig(max_depth=3)).run(seeds)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({q(r['url'])}, {q(r['site_id'])}, {r['depth']}, {r['round']}, "
+        f"{r['priority']}, {len(r['text'])})"
+        for r in sorted(res.crawled, key=lambda r: r["priority"])
+    )
+    return f"""
+        SELECT url, site_id, CAST(depth AS INTEGER) AS depth,
+               CAST(round AS INTEGER) AS round,
+               CAST(priority AS BIGINT) AS priority,
+               CAST(text_len AS INTEGER) AS text_len
+        FROM (VALUES {rows})
+          AS t(url, site_id, depth, round, priority, text_len)
+        ORDER BY priority
+    """
+
+
+def _hybrid_topk_sql() -> str:
+    """DuckDB replay of the full hybrid retrieval pipeline: md5
+    hashing-trick dense embedding (slot sums are INTEGERS → exact in
+    any summation order; float32 storage rounding mirrored via CAST AS
+    FLOAT), Okapi BM25 with corpus-fit idf/avgdl, alpha blend, top-20,
+    lexical-overlap rerank, top-10."""
+    from doccrawler_spark.kernels import embed as embed_k
+
+    dim = 64
+    dense_q = embed_k.dense_embed(_HYBRID_QUERY_TEXT, dim)
+    q_lits = ", ".join("%.17e" % x for x in dense_q)
+    q_tokens = sorted(set(embed_k.tokenize(_HYBRID_QUERY_TEXT)))
+    qterm_rows = ", ".join(
+        f"('{t}', {embed_k.term_id(t)})" for t in q_tokens
+    )
+    q_tok_list = "[" + ", ".join(f"'{t}'" for t in q_tokens) + "]"
+    n_q = len(q_tokens)
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::VARCHAR AS url, source AS site_id, text FROM documents
+        ), toks AS (
+          SELECT url, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM docs
+        ), dl AS (
+          SELECT url, count(*) AS dl FROM toks GROUP BY url
+        ), corpus AS (
+          SELECT (SELECT count(*) FROM docs) AS n, (SELECT avg(dl) FROM dl) AS avgdl
+        ),
+        -- dense: md5 hashing-trick slots (integer ±1 sums), L2-normalized,
+        -- stored as float32 exactly like the ARRAY<FLOAT> vectors table
+        slots AS (
+          SELECT url, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {dim} AS slot,
+                 sum(CASE WHEN ('0x' || substr(md5(tok), 9, 2))::BIGINT & 1 = 1
+                     THEN 1.0 ELSE -1.0 END) AS v
+          FROM toks GROUP BY url, slot
+        ), grid AS (
+          SELECT d.url, g.i FROM docs d,
+                 (SELECT unnest(range(0, {dim})) AS i) g
+        ), dv AS (
+          SELECT g.url, g.i, coalesce(s.v, 0.0) AS v
+          FROM grid g LEFT JOIN slots s ON s.url = g.url AND s.slot = g.i
+        ), dnorm AS (
+          SELECT url, sqrt(sum(v * v)) AS nrm FROM dv GROUP BY url
+        ), dvec AS (
+          SELECT dv.url,
+                 list(CAST(CASE WHEN nrm > 0 THEN dv.v / nrm ELSE 0.0 END AS FLOAT)
+                      ORDER BY dv.i) AS vec
+          FROM dv JOIN dnorm ON dnorm.url = dv.url
+          GROUP BY dv.url
+        ), dense AS (
+          SELECT url, list_dot_product([{q_lits}], vec::DOUBLE[]) AS dd FROM dvec
+        ),
+        -- sparse: Okapi BM25 (k1=1.2, b=0.75), query-side idf weights
+        qterm AS (
+          SELECT * FROM (VALUES {qterm_rows}) AS t(tok, tid)
+        ), dfq AS (
+          SELECT q.tid, count(DISTINCT t.url) AS df
+          FROM qterm q LEFT JOIN toks t ON t.tok = q.tok GROUP BY q.tid
+        ), wq AS (
+          SELECT tid, CASE WHEN df = 0 THEN 0.0
+                 ELSE ln(((SELECT n FROM corpus) - df + 0.5::DOUBLE)
+                         / (df + 0.5::DOUBLE) + 1.0::DOUBLE) END AS w
+          FROM dfq
+        ), tfq AS (
+          SELECT t.url, q.tid, count(*) AS tf
+          FROM toks t JOIN qterm q ON q.tok = t.tok GROUP BY t.url, q.tid
+        ), contrib AS (
+          SELECT tfq.url, tfq.tid,
+                 CAST(tfq.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                      / (tfq.tf + 1.2::DOUBLE
+                         * (1.0::DOUBLE - 0.75::DOUBLE
+                            + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM corpus)))
+                      AS FLOAT)::DOUBLE * wq.w AS x
+          FROM tfq JOIN dl ON dl.url = tfq.url JOIN wq ON wq.tid = tfq.tid
+        ), sparse AS (
+          SELECT url, list_sum(list(x ORDER BY tid)) AS sd FROM contrib GROUP BY url
+        ),
+        scored AS (
+          SELECT d.url, d.site_id,
+                 sha256(d.site_id || chr(0) || d.url || chr(0) || '0'
+                        || chr(0) || 'false') AS id,
+                 0.5::DOUBLE * dense.dd
+                   + 0.5::DOUBLE * coalesce(sparse.sd, 0.0) AS score,
+                 len(list_intersect(list_distinct(string_split(
+                       regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'), ' ')),
+                     {q_tok_list})) / {n_q}.0::DOUBLE AS rr
+          FROM docs d
+          JOIN dense ON dense.url = d.url
+          LEFT JOIN sparse ON sparse.url = d.url
+        ), topk AS (
+          SELECT * FROM scored ORDER BY score DESC, url ASC, id ASC LIMIT 20
+        )
+        SELECT id, url, site_id, round(score, 6) AS score,
+               round(rr, 6) AS rerank_score
+        FROM topk
+        ORDER BY rr DESC, score DESC, url ASC, id ASC LIMIT 10
+    """
+
 
 _NORM = "trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"
 _TOKS = f"string_split_regex({_NORM}, ' +')"
@@ -323,6 +492,64 @@ _SHINGLES = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "crawl_tiny_e2e": _tiny_crawl_golden_sql(),
+        "hybrid_topk": _hybrid_topk_sql(),
+        "knn_join": """
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS q_emb
+              FROM embeddings ORDER BY vec_id LIMIT 5
+            ), qb AS (
+              SELECT q_id, q_emb,
+                     list_aggregate(list_transform(list_slice(q_emb, 1, 4),
+                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                       'string_agg', '') AS bucket
+              FROM q
+            ), cb AS (
+              SELECT vec_id, embedding,
+                     list_aggregate(list_transform(list_slice(embedding, 1, 4),
+                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+                       'string_agg', '') AS bucket
+              FROM embeddings
+            ), joined AS (
+              SELECT q_id, vec_id,
+                     round(list_dot_product(embedding::DOUBLE[], q_emb::DOUBLE[]) /
+                           (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[]))), 6) AS cosine
+              FROM qb JOIN cb USING (bucket)
+            ), ranked AS (
+              SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM joined
+            )
+            SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
+            FROM ranked WHERE rank <= 5 ORDER BY q_id, vec_id
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id::VARCHAR AS url, source AS site_id,
+                     8 + length(text) AS n1, 9 + length(text) AS n2
+              FROM documents
+            )
+            SELECT url, site_id, CAST(0 AS INTEGER) AS chunk_ix,
+                   CAST(CASE WHEN n2 < 200 THEN n1 + 2 + n2 ELSE n1 END
+                        AS INTEGER) AS chunk_chars,
+                   false AS is_summary
+            FROM t
+            UNION ALL
+            SELECT url, site_id, CAST(1 AS INTEGER), CAST(n2 AS INTEGER), false
+            FROM t WHERE n2 >= 200
+            ORDER BY url, chunk_ix
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   substr(sha256(text), 1, 16) AS sha
+            FROM documents ORDER BY media_id
+        """,
         "exact_dedup": f"""
             SELECT md5({_NORM}) AS fingerprint,
                    min(doc_id) AS keeper_doc_id,

@@ -96,7 +96,7 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
 
 QUERY_SUBSET = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
-    "embedding_neardup", "cosine_topk", "lsh_topk", "token_stats",
+    "embedding_neardup", "cosine_topk", "lsh_topk", "knn_join", "token_stats",
     "quality_scores", "lang_id", "fingerprint", "hybrid_topk", "chunk_documents",
     "multimodal_features", "groupby_agg", "broadcast_join", "anti_join",
     "topk_per_group", "sessionize",
