@@ -200,10 +200,15 @@ def parse_robots_udf(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def dense_embed_udf(dim: int):
+def dense_embed_udf(dim: int, backend: str = "hashing"):
+    """X7 dense embedding UDF; ``backend`` names a registered batch
+    embedder (kernels.embed.register_embed_backend) resolved inside
+    the UDF so each Python worker loads its own model copy."""
+
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _embed(text: pd.Series) -> pd.Series:
-        return pd.Series(embed_k.dense_embed_batch(text.tolist(), dim))
+        fn = embed_k.get_embed_backend(backend)
+        return pd.Series(fn(text.tolist(), dim))
 
     return _embed
 

@@ -57,6 +57,63 @@ def dense_embed_batch(texts, dim: int = 64) -> list[list[float]]:
     return [dense_embed(t, dim) for t in texts]
 
 
+# ------------------------------------------------- pluggable backends
+#
+# The reference embeds with fastembed TextEmbedding
+# ('BAAI/bge-base-en-v1.5', batches of 24, embed_service.py:55-93).
+# That model isn't in this container, so the default backend is the
+# deterministic hashing projection above; a real model plugs in by
+# registering a batch fn under a name — executors resolve the backend
+# BY NAME inside the pandas UDF (never pickle model weights into the
+# plan; each Python worker loads/caches its own copy).
+
+_EMBED_BACKENDS: dict = {"hashing": dense_embed_batch}
+
+
+def register_embed_backend(name: str, batch_fn) -> None:
+    """Register ``batch_fn(texts: list[str], dim: int) -> list[list
+    [float]]`` as an embedding backend selectable by name.
+
+    Registration must also run on the EXECUTORS (the UDF resolves by
+    name in the worker process): put the ``register_embed_backend``
+    call at module scope in a module your job imports and ship it via
+    ``spark-submit --py-files`` with the rest of the package."""
+    _EMBED_BACKENDS[name] = batch_fn
+
+
+def get_embed_backend(name: str = "hashing"):
+    try:
+        return _EMBED_BACKENDS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown embed backend {name!r}; registered: "
+            f"{sorted(_EMBED_BACKENDS)}"
+        ) from None
+
+
+def _fastembed_batch(texts, dim: int = 768) -> list[list[float]]:
+    """Real-model backend (bge-base-en-v1.5 via fastembed), mirroring
+    embed_service.py:55-93 — import-gated: available only where the
+    fastembed wheel + model weights exist on the executors."""
+    try:
+        from fastembed import TextEmbedding  # type: ignore
+    except ImportError as e:  # pragma: no cover - not in this container
+        raise RuntimeError(
+            "fastembed is not installed; use the 'hashing' backend or "
+            "register a custom one via register_embed_backend()"
+        ) from e
+    model = _fastembed_batch.__dict__.setdefault(  # per-worker cache
+        "_model", TextEmbedding("BAAI/bge-base-en-v1.5")
+    )
+    out = []
+    for i in range(0, len(texts), 24):  # reference batch size
+        out.extend(v.tolist() for v in model.embed(texts[i:i + 24]))
+    return out
+
+
+register_embed_backend("fastembed", _fastembed_batch)
+
+
 # ---------------------------------------------------------------- BM25
 
 

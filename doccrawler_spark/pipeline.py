@@ -167,18 +167,20 @@ def normalize_metadata(chunks: DataFrame) -> DataFrame:
 
 
 def build_vectors(
-    spark, chunks: DataFrame, dim: int = 64, stats: embed_k.BM25Stats | None = None
+    spark, chunks: DataFrame, dim: int = 64,
+    stats: embed_k.BM25Stats | None = None, embed_backend: str = "hashing",
 ) -> tuple[DataFrame, embed_k.BM25Stats]:
     """chunks → vectors(id, values, sparse, metadata) (X7/X8/X9 + S7).
 
     BM25 stats are fit once and broadcast (the reference pickle-caches
     its fitted encoder, load_bm25.py:15-44); dense embeddings come from
-    the pluggable deterministic hashing embedder.
+    the named pluggable backend ('hashing' default; 'fastembed' =
+    bge-base-en-v1.5 where installed; register_embed_backend for more).
     """
     stats = stats or fit_bm25_distributed(chunks)
     bc = spark.sparkContext.broadcast(stats.to_dict())
     normalized = normalize_metadata(chunks)
     out = normalized.withColumn(
-        "values", Fx.dense_embed_udf(dim)(F.col("chunked_data"))
+        "values", Fx.dense_embed_udf(dim, embed_backend)(F.col("chunked_data"))
     ).withColumn("sparse", Fx.bm25_encode_udf(bc)(F.col("chunked_data")))
     return out, stats

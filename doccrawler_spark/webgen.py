@@ -56,6 +56,9 @@ class SiteSpec:
     n_pages: int
     sitemap: bool = False
     sitemap_size: int = 0
+    # empty /sitemap.xml (zero <loc>) + a valid /sitemap_index.xml —
+    # exercises the parse-result fallthrough (helper.py:219-225)
+    sitemap_index_fallthrough: bool = False
     crawl_delay: float | None = None
     disallow: tuple[str, ...] = ()
     branching: int = 3
@@ -236,6 +239,15 @@ def _special_rows(s: SiteSpec) -> list[dict]:
         xml = _sitemap_xml(s)
         url = f"https://{s.host}/sitemap.xml"
         rows.append({"url": url, "warc_ts": _warc_ts(url),
+                     "html": xml.encode("utf-8"), "text": xml, "lang": "en"})
+    if s.sitemap_index_fallthrough:
+        empty = '<?xml version="1.0"?><urlset></urlset>'
+        u1 = f"https://{s.host}/sitemap.xml"
+        rows.append({"url": u1, "warc_ts": _warc_ts(u1),
+                     "html": empty.encode("utf-8"), "text": empty, "lang": "en"})
+        xml = _sitemap_xml(s)
+        u2 = f"https://{s.host}/sitemap_index.xml"
+        rows.append({"url": u2, "warc_ts": _warc_ts(u2),
                      "html": xml.encode("utf-8"), "text": xml, "lang": "en"})
     return rows
 

@@ -140,6 +140,26 @@ def test_resume_from_checkpoint(spark, tmp_path):
     _assert_equivalent(spark, oracle, catalog, golden)
 
 
+def test_sitemap_index_fallthrough(spark, tmp_path):
+    """An existing-but-empty /sitemap.xml must fall through to
+    /sitemap_index.xml (helper.py:219-225 breaks only when urls were
+    FOUND, not when the file merely exists)."""
+    spec = WebSpec(sites=(
+        SiteSpec("docs.idx.test", 30, sitemap_size=10,
+                 sitemap_index_fallthrough=True),
+        SiteSpec("docs.plain.test", 10, branching=2),
+    ))
+    oracle, catalog, _, golden = _run_both(
+        spark, tmp_path, spec, max_depth=3, politeness=True
+    )
+    # the fallthrough site crawled in sitemap mode: exactly its 10 locs,
+    # all at depth 1, never expanded
+    idx_rows = [r for r in oracle.crawled if "docs.idx.test" in r["url"]]
+    assert len(idx_rows) == 10
+    assert all(r["depth"] == 1 for r in idx_rows)
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
 def test_error_sink_records_fetch_misses(spark, tmp_path):
     """S8: every dead link (fixture seeds one every 7th page) lands in
     the errors table with reason=fetch_miss — exactly the urls the

@@ -165,6 +165,20 @@ def test_distributed_bm25_fit_matches_kernel(spark, vectors):
     assert stats.idf == pytest.approx(kstats.idf)
 
 
+def test_embed_backend_registry():
+    K.register_embed_backend(
+        "scaled", lambda texts, dim: [
+            [2.0 * x for x in K.dense_embed(t, dim)] for t in texts
+        ],
+    )
+    out = K.get_embed_backend("scaled")(["hello world"], 8)
+    base = K.dense_embed("hello world", 8)
+    assert out[0] == [2.0 * x for x in base]
+    assert K.get_embed_backend() is K.dense_embed_batch
+    with pytest.raises(ValueError, match="unknown embed backend"):
+        K.get_embed_backend("nope")
+
+
 def test_filter_dialect_shapes():
     preds = filters_to_predicates(
         {"a": "x", "b": ["x", "y"], "c": True, "d": None}
