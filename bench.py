@@ -72,6 +72,9 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
         budget_per_site=2**31,  # ≥2**30 ⇒ takes the unlimited-budget fast path
         politeness=True,                # robots checked; no crawl delays set
         max_rounds=16,
+        # BENCH_NO_ERRORS=1 disables the S8 error sink (A/B probe for
+        # its per-round cost; the default bench keeps it on — honest)
+        track_errors=not os.environ.get("BENCH_NO_ERRORS"),
     )
     t0 = time.time()
     timings: dict = {}

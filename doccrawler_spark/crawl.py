@@ -350,21 +350,6 @@ def run_round(
         ).withColumn("round", F.lit(round_))
         catalog.write(lineage, "metrics", round_)
 
-        # ---- error sink (S8): fetch misses — frontier rows that found
-        # no corpus page — land in a per-round `errors` snapshot instead
-        # of silently vanishing (ref error_repository.py:14-21, producer
-        # crawler_service.py:62-70).  Anti-join against the committed
-        # crawled urls; extraction itself is total (regex scanner), so
-        # fetch misses are the only failure class here.
-        if cfg.track_errors:
-            misses = fetch_now.join(
-                crawled_back.select("url"), "url", "left_anti"
-            ).select(
-                "url", "host", "site_id", "depth",
-                F.lit(round_).alias("round"), "priority",
-                F.lit("fetch_miss").alias("reason"),
-            )
-            catalog.write(misses, "errors", round_)
 
         # ---- discover (X2) on expanding pages only (F2/F3 gates)
         expanding = crawled_back.filter(
@@ -520,6 +505,35 @@ def run_round(
                 .select("site_id", "used", "max")
             )
             catalog.write(new_budget, "budget", round_)
+
+        # ---- error sink (S8): fetch misses — frontier rows that found
+        # no corpus page — land in a per-round `errors` snapshot instead
+        # of silently vanishing (ref error_repository.py:14-21, producer
+        # crawler_service.py:62-70).  Computed ENTIRELY from committed
+        # snapshots (pruned column reads, no UDF/window lineage
+        # re-execution): missed = frontier(r-1) under the depth gate,
+        # minus crawled(r), minus politeness-deferred rows (which were
+        # re-snapshotted into frontier(r) with is_new=false).
+        # Extraction itself is total (regex scanner), so fetch misses
+        # are the only failure class here.
+        if cfg.track_errors:
+            prev = (
+                catalog.read(spark, "frontier", round_ - 1)
+                .filter(F.col("depth") < cfg.max_depth)
+                .select("url", "host", "site_id", "depth", "priority")
+            )
+            not_missed = crawled_back.select("url")
+            if cfg.politeness and has_delays:
+                not_missed = not_missed.unionByName(
+                    catalog.read(spark, "frontier", round_)
+                    .filter(~F.col("is_new")).select("url")
+                )
+            misses = prev.join(not_missed, "url", "left_anti").select(
+                "url", "host", "site_id", "depth",
+                F.lit(round_).alias("round"), "priority",
+                F.lit("fetch_miss").alias("reason"),
+            )
+            catalog.write(misses, "errors", round_)
 
         # counts straight from the committed parquet footers / a single
         # driver-side column read — zero Spark jobs

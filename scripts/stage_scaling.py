@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Per-stage strong-scaling table (north_rule evidence, leg 2).
+
+The e2e crawl on ONE box saturates the shared memory bus (see
+BENCH/HARDWARE.md); this script isolates WHERE by running each pipeline
+stage as its own job at two parallelism levels (separate JVMs), same
+input, best-of-N:
+
+  scan       parquet scan+decode of the html corpus, sum(length)   [bus]
+  extract    scan + fused extract+discover Arrow UDF               [bus+cpu]
+  vectorize  chunk texts -> dense hash embed + BM25 encode         [cpu]
+  jvm_hash   pure JVM codegen chain over spark.range (no input)    [cpu]
+
+Efficiency N->M cores = (t_N / t_M) / (M / N).  A cluster multiplies
+memory buses with executors, so the cpu-stage numbers are the honest
+predictor of 4N-executor scaling; the bus-stage numbers are the
+single-box artifact, quantified.
+
+Usage: python scripts/stage_scaling.py [--low 8] [--high 32]
+       [--pages 60000] [--repeats 3]
+Writes BENCH/STAGES.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["STAGE_REPO"])
+from doccrawler_spark.session import get_spark
+from pyspark.sql import functions as F
+
+cpus = int(os.environ["STAGE_CPUS"])
+pages = int(os.environ["STAGE_PAGES"])
+repeats = int(os.environ["STAGE_REPEATS"])
+web_path = os.environ["STAGE_WEB"]
+
+spark = get_spark(app_name=f"stage_{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=64)
+
+from doccrawler_spark import functions as Fx
+from doccrawler_spark.kernels import embed as embed_k
+
+# deterministic ~pages-row slice (hash-mod filter, NOT limit — both
+# parallelism legs must see the exact same rows)
+full = spark.read.parquet(web_path)
+total = full.count()
+mod = max(1, round(total / pages))
+web = full.filter((F.abs(F.xxhash64("url")) % mod) == 0)
+web = web.repartition(64).cache()
+n_rows = web.count()
+print(f"[stage worker] cpus={cpus} rows={n_rows}", flush=True)
+
+# one warm-up Arrow job so Python workers pay import cost up front
+n = spark.sparkContext.defaultParallelism * 4
+(spark.range(n).repartition(n)
+ .withColumn("h", F.encode(F.lit("<p>w</p>"), "utf-8"))
+ .withColumn("p", Fx.extract_page_udf(F.col("h")))
+ .select(F.sum(F.length("p.text"))).collect())
+
+texts = web.select(F.col("text").alias("chunked_data"))
+stats = embed_k.fit_bm25(["warm up fit corpus"])
+bc = spark.sparkContext.broadcast(stats.to_dict())
+
+
+def stage_scan():
+    web.select(F.sum(F.length("html"))).collect()
+
+def stage_extract():
+    (web.withColumn("p", Fx.extract_page_udf(F.col("html")))
+     .select(F.sum(F.length("p.text")), F.sum(F.size("p.links"))).collect())
+
+def stage_vectorize():
+    (texts
+     .withColumn("v", Fx.dense_embed_udf(64)(F.col("chunked_data")))
+     .withColumn("s", Fx.bm25_encode_udf(bc)(F.col("chunked_data")))
+     .select(F.sum(F.size("v")), F.sum(F.size("s.indices"))).collect())
+
+def stage_jvm_hash():
+    m = 40_000_000
+    (spark.range(m).repartition(256)
+     .select(F.sum(F.xxhash64(F.md5(F.col("id").cast("string")))))
+     .collect())
+
+out = {}
+for name, fn in [("scan", stage_scan), ("extract", stage_extract),
+                 ("vectorize", stage_vectorize), ("jvm_hash", stage_jvm_hash)]:
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out[name] = round(best, 2)
+print("STAGEJSON " + json.dumps(out))
+"""
+
+
+def run_at(cpus: int, pages: int, repeats: int, web_path: str) -> dict:
+    env = dict(os.environ, STAGE_REPO=REPO, STAGE_CPUS=str(cpus),
+               STAGE_PAGES=str(pages), STAGE_REPEATS=str(repeats),
+               STAGE_WEB=web_path)
+    r = subprocess.run([sys.executable, "-c", _WORKER], env=env,
+                       capture_output=True, text=True, timeout=3600)
+    for line in r.stdout.splitlines():
+        if line.startswith("STAGEJSON "):
+            return json.loads(line[len("STAGEJSON "):])
+    raise RuntimeError(f"stage worker failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+
+
+def ensure_corpus(pages_in_corpus: int = 240_000) -> str:
+    """Reuse bench.py's cached corpus (generate if absent)."""
+    cache_root = os.environ.get(
+        "BENCH_WEB_CACHE",
+        "/dev/shm/doccrawler_web_cache" if os.path.isdir("/dev/shm")
+        else "/tmp/doccrawler_web_cache",
+    )
+    web_path = os.path.join(cache_root, f"web_{pages_in_corpus}_ts24_b16")
+    if not os.path.exists(os.path.join(web_path, "_SUCCESS")):
+        from doccrawler_spark.session import get_spark
+        from doccrawler_spark.webgen import bench_spec, generate_web_pages_df
+
+        spark = get_spark(app_name="stage_gen", master="local[32]")
+        spec = bench_spec(n_pages=pages_in_corpus, n_sites=12)
+        generate_web_pages_df(spark, spec).write.mode("overwrite").parquet(web_path)
+        spark.stop()
+    return web_path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--pages", type=int, default=60000)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    web_path = ensure_corpus()
+
+    lo = run_at(args.low, args.pages, args.repeats, web_path)
+    print(f"[stages] local[{args.low}]: {lo}", flush=True)
+    hi = run_at(args.high, args.pages, args.repeats, web_path)
+    print(f"[stages] local[{args.high}]: {hi}", flush=True)
+
+    factor = args.high / args.low
+    effs = {k: round((lo[k] / hi[k]) / factor, 3) for k in lo}
+
+    rows = "\n".join(
+        f"| {k} | {lo[k]} | {hi[k]} | {effs[k]} |"
+        for k in ["scan", "extract", "vectorize", "jvm_hash"]
+    )
+    md = f"""# BENCH/STAGES — per-stage strong scaling ({datetime.date.today()})
+
+Same input ({args.pages} pages of the bench corpus, ~23 KB HTML each,
+cached in executor memory), each stage its own job in its own JVM at
+local[{args.low}] vs local[{args.high}]; best of {args.repeats} runs per
+cell (bursty-host minimum-of-N protocol).  Regenerate:
+`python scripts/stage_scaling.py`.
+
+| stage | t(local[{args.low}]) s | t(local[{args.high}]) s | efficiency {args.low}->{args.high} |
+|---|---|---|---|
+{rows}
+
+Reading: efficiency = (t_{args.low}/t_{args.high}) / {factor:.0f}.
+`scan` moves bytes and computes nothing — it is the memory-bus
+signature of this box (BENCH/HARDWARE.md: aggregate memcpy saturates
+at ~8 processes).  `vectorize` and `jvm_hash` are compute-dense and
+keep scaling; `extract` sits between (Arrow transfer of every html
+byte + regex scan per page).  On a real 4N-executor cluster every
+executor brings its own memory bus, so the cpu-stage efficiencies are
+the honest predictor of N->4N executor scaling, and the scan-stage
+ceiling is a single-box emulation artifact — quantified here rather
+than hand-waved.
+
+```json
+{json.dumps({"low": lo, "high": hi, "efficiency": effs,
+             "cores": [args.low, args.high], "pages": args.pages}, indent=2)}
+```
+"""
+    with open(os.path.join(REPO, "BENCH", "STAGES.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
