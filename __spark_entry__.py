@@ -578,17 +578,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH sh AS (
               SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ), based AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                       % 2147483647 AS b
+              FROM sh
             ), sig AS (
               SELECT doc_id,
-                     {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(16))}
-              FROM sh GROUP BY doc_id
+                     {", ".join(
+                         f"min((b * {2 * i + 1} + {i * 2654435761})"
+                         f" % 2147483647) AS h{i}" for i in range(16))}
+              FROM based GROUP BY doc_id
             ), banded AS (
               SELECT doc_id,
                      [{", ".join(f"h{i}" for i in range(16))}] AS sig,
                      unnest([
                        {", ".join(
                            "{'band': %d, 'key': %s}" % (
-                               b, " || '|' || ".join(f"h{b*4+r}" for r in range(4)))
+                               b, " || '|' || ".join(
+                                   f"h{b*4+r}::VARCHAR" for r in range(4)))
                            for b in range(4))}
                      ]) AS bk
               FROM sig

@@ -129,20 +129,34 @@ def ngram_jaccard_pairs(
     )
 
 
+# 2^31-1, prime — the classic Mersenne modulus for affine hash families
+_MERSENNE = (1 << 31) - 1
+_HASH_C = 2654435761  # Knuth multiplicative constant spaces the offsets
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
-    """(doc_id, sig ARRAY<STRING>[k]) — MinHash over word-n-gram
-    shingles; hash family h_i(s) = md5(i || '|' || s), min per i.
-    Portable to the DuckDB oracle (same md5 both sides)."""
+    """(doc_id, sig ARRAY<BIGINT>[k]) — MinHash over word-n-gram
+    shingles; hash family h_i(s) = (base(s)·(2i+1) + i·C) mod (2^31-1)
+    with base(s) = first 60 bits of md5(s).
+
+    ONE md5 per shingle + k integer affine maps — the earlier
+    md5(i||s)-per-i family allocated 16 hex strings per shingle row and
+    went GC-bound at 32 cores (0.29 scaling efficiency measured); the
+    affine family is pure codegen'd integer arithmetic after the single
+    digest.  All intermediates < 2^62, so ANSI overflow-safe, and the
+    DuckDB oracle replays it with identical BIGINT arithmetic."""
     sh = _shingles(documents, n)
-    hashed = sh.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h{i}")
-            for i in range(k)
-        ],
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % F.lit(_MERSENNE)
     )
+    hashed = sh.select("doc_id", base.alias("b"))
     return hashed.groupBy("doc_id").agg(
-        F.array(*[F.min(f"h{i}") for i in range(k)]).alias("sig")
+        F.array(*[
+            F.min((F.col("b") * F.lit(2 * i + 1) + F.lit(i * _HASH_C))
+                  % F.lit(_MERSENNE))
+            for i in range(k)
+        ]).alias("sig")
     )
 
 
@@ -160,8 +174,10 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
-                    .alias("key"),
+                    F.concat_ws("|", *[
+                        F.col("sig")[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ]).alias("key"),
                 )
                 for b in range(bands)
             ])

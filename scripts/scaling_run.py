@@ -32,6 +32,7 @@ def run_at(cpus: int, pages: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_PAGES=str(pages),
         BENCH_SKIP_QUERIES="1",
+        BENCH_CRAWL_REPEATS="1",  # this script handles the repeats
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

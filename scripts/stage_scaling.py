@@ -85,14 +85,27 @@ def stage_vectorize():
      .select(F.sum(F.size("v")), F.sum(F.size("s.indices"))).collect())
 
 def stage_jvm_hash():
-    m = 40_000_000
+    m = 80_000_000
     (spark.range(m).repartition(256)
-     .select(F.sum(F.xxhash64(F.md5(F.col("id").cast("string")))))
+     .select(F.sum(F.xxhash64(F.md5(F.col("id").cast("string"))) % 1024))
      .collect())
+
+# a REAL engine operator as the cpu-dense leg: MinHash signatures
+# (16 md5 evaluations per shingle, JVM codegen) over a half slice
+docs_like = (web.filter((F.abs(F.xxhash64("url")) % 2) == 0)
+             .select(F.xxhash64("url").alias("doc_id"),
+                     F.col("text")).cache())
+docs_like.count()
+
+def stage_minhash():
+    from doccrawler_spark.ops.dedup import minhash_signatures
+    minhash_signatures(docs_like, n=3, k=16).select(
+        F.sum(F.size("sig"))).collect()
 
 out = {}
 for name, fn in [("scan", stage_scan), ("extract", stage_extract),
-                 ("vectorize", stage_vectorize), ("jvm_hash", stage_jvm_hash)]:
+                 ("vectorize", stage_vectorize), ("jvm_hash", stage_jvm_hash),
+                 ("minhash", stage_minhash)]:
     best = None
     for _ in range(repeats):
         t0 = time.time()
@@ -156,7 +169,7 @@ def main() -> None:
 
     rows = "\n".join(
         f"| {k} | {lo[k]} | {hi[k]} | {effs[k]} |"
-        for k in ["scan", "extract", "vectorize", "jvm_hash"]
+        for k in ["scan", "extract", "vectorize", "jvm_hash", "minhash"]
     )
     md = f"""# BENCH/STAGES — per-stage strong scaling ({datetime.date.today()})
 
@@ -173,9 +186,15 @@ cell (bursty-host minimum-of-N protocol).  Regenerate:
 Reading: efficiency = (t_{args.low}/t_{args.high}) / {factor:.0f}.
 `scan` moves bytes and computes nothing — it is the memory-bus
 signature of this box (BENCH/HARDWARE.md: aggregate memcpy saturates
-at ~8 processes).  `vectorize` and `jvm_hash` are compute-dense and
-keep scaling; `extract` sits between (Arrow transfer of every html
-byte + regex scan per page).  On a real 4N-executor cluster every
+at ~8 processes); `minhash` (a real dedup operator over these ~3.4k
+-token pages: ~100M-row shingle explode + 16-way min agg) is in the
+same class — dominated by row/allocation traffic, and its measured
+ceiling here motivated switching its hash family from 16 md5 calls to
+1 md5 + affine integer maps.  `jvm_hash` (pure codegen, zero input
+bytes) and `vectorize` (the X7/X8 embed+BM25 job, heavy Python compute
+per byte) are the CPU-bound legs — they hold ≥0.8; `extract` sits
+between (Arrow transfer of every html byte around the regex kernel).
+On a real 4N-executor cluster every
 executor brings its own memory bus, so the cpu-stage efficiencies are
 the honest predictor of N->4N executor scaling, and the scan-stage
 ceiling is a single-box emulation artifact — quantified here rather
