@@ -668,20 +668,19 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": """
             WITH q AS (
               SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1
-            ), qkey AS (
-              SELECT qv, list_aggregate(list_transform(list_slice(qv, 1, 8),
-                     x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-                     'string_agg', '') AS k
-              FROM q
             )
             SELECT vec_id, label,
                    round(list_dot_product(embedding::DOUBLE[], qv) /
                          (sqrt(list_dot_product(qv, qv)) *
                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
-            FROM embeddings, qkey
-            WHERE list_aggregate(list_transform(list_slice(embedding, 1, 8),
-                  x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-                  'string_agg', '') = k
+            FROM embeddings, q
+            WHERE """ + " OR ".join(
+            f"""list_aggregate(list_transform(list_slice(embedding, {t*8+1}, {t*8+8}),
+                  x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')
+                = list_aggregate(list_transform(list_slice(qv, {t*8+1}, {t*8+8}),
+                  x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"""
+            for t in range(4)
+        ) + """
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "token_stats": """

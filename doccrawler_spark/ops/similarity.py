@@ -44,31 +44,48 @@ def cosine_topk(
     )
 
 
-def sign_bucket(col, n_bits: int = 8):
-    """LSH bucket = sign bits of the first n_bits dimensions.
+def sign_bucket(col, n_bits: int = 8, offset: int = 0):
+    """LSH bucket = sign bits of dims [offset, offset+n_bits).
 
     Deterministic and portable (the DuckDB oracle computes the same
     key); a production variant would use seeded random hyperplanes —
-    same plan shape, different projection."""
+    same plan shape, different projection.  F.get (not getItem): short
+    vectors pad with "0" instead of throwing under ANSI."""
     return F.concat_ws(
         "",
         *[
-            F.when(col.getItem(i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.get(col, offset + i) >= 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(n_bits)
         ],
     )
 
 
 def lsh_topk(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10, n_bits: int = 8
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_bits: int = 8, n_tables: int = 4,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's sign bucket.
+    """Multi-table ANN top-k: table t buckets on the sign bits of dims
+    [t·n_bits, (t+1)·n_bits); candidates = vectors matching the query's
+    key in ANY table (standard OR-amplified LSH — recall rises with
+    n_tables, candidate volume ≈ n_tables·n/2^n_bits), then exact
+    cosine + TakeOrderedAndProject.
 
-    Scale path: the bucket key is a partition/cluster key, so the scan
-    prunes to one bucket (~n/2^bits of the data) before any scoring."""
-    qkey = "".join("1" if x >= 0 else "0" for x in query_vec[:n_bits])
-    bucketed = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
-    return cosine_topk(bucketed.filter(F.col("bucket") == qkey), query_vec, k)
+    Scale path: ONE scan with an OR-of-equalities predicate (codegen'd,
+    no explode); with bucket keys as cluster/partition columns the scan
+    prunes to n_tables buckets."""
+    n_tables = max(1, min(n_tables, len(query_vec) // n_bits))
+
+    def qkey(t: int) -> str:
+        return "".join(
+            "1" if x >= 0 else "0"
+            for x in query_vec[t * n_bits:(t + 1) * n_bits]
+        )
+
+    pred = None
+    for t in range(n_tables):
+        p = sign_bucket(F.col("embedding"), n_bits, t * n_bits) == qkey(t)
+        pred = p if pred is None else (pred | p)
+    return cosine_topk(embeddings.filter(pred), query_vec, k)
 
 
 def knn_join(

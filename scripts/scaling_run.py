@@ -129,8 +129,9 @@ seeding and corpus generation — fixed costs that vanish at 10^10 scale).
 ~8-16 processes on this VM — every byte-moving stage (parquet decode,
 Arrow transfer, /dev/shm snapshot writes) shares ONE memory bus in
 local mode, while a 4N-executor cluster brings 4N buses.  The
-compute-dense stages (extract kernel, vectorize, JVM hash) hold ≥0.8
-per-stage efficiency; nothing in the plan serializes on the driver
+compute-dense stages (the extract kernel and the embed+BM25 vectorize
+job — the per-page work itself) hold ≥0.8 per-stage efficiency;
+nothing in the plan serializes on the driver
 (per-round driver overhead < 1.5 s: manifest commits + parquet-footer
 counts; politeness/budget windows are salted two-phase top-k).
 

@@ -89,16 +89,54 @@ def main() -> None:
         ["ReadSchema: struct<doc_id", "*("],
     ))
 
+    # 5. embedding near-dup: banded LSH bucket join — NEVER a cartesian
+    # product; singleton buckets pruned via LeftSemi before the self-join
+    from doccrawler_spark.ops.dedup import embedding_neardup_pairs
+
+    sections.append((
+        "Embedding near-dup (banded sign-bit LSH blocking, no all-pairs)",
+        plan_of(embedding_neardup_pairs(emb, threshold=0.3)),
+        ["LeftSemi", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
+    # 6. bulk ANN knn_join: bucket equi-join + bounded per-query window
+    from doccrawler_spark.ops.similarity import knn_join
+
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sections.append((
+        "knn_join (bucket equi-join + per-query top-k window, no cartesian)",
+        plan_of(knn_join(emb, q, k=5, n_bits=4)),
+        ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
+    # 7. minhash signatures: ONE md5 (conv) per shingle, map-side
+    # partial min aggregation before the shuffle
+    from doccrawler_spark.ops.dedup import minhash_signatures
+
+    sections.append((
+        "MinHash signatures (single-digest affine family, partial agg)",
+        plan_of(minhash_signatures(docs)),
+        ["conv(substring(md5(", "partial_min", "Exchange"],
+    ))
+
     md = [f"# BENCH/PLANS — physical plans of key operators ({datetime.date.today()})",
           "", "Regenerate with `python scripts/show_plans.py`. Each section lists",
-          "the plan properties asserted (present unless marked MISSING).", ""]
+          "the plan properties asserted (`!x` = must be ABSENT; present/absent",
+          "unless marked MISSING/UNEXPECTED).", ""]
     ok = True
     for title, plan, checks in sections:
         md.append(f"## {title}\n")
         for c in checks:
-            mark = "present" if c in plan else "**MISSING**"
-            if c not in plan:
-                ok = False
+            if c.startswith("!"):
+                bad = c[1:] in plan
+                mark = "**UNEXPECTEDLY PRESENT**" if bad else "absent (good)"
+                ok = ok and not bad
+            else:
+                bad = c not in plan
+                mark = "**MISSING**" if bad else "present"
+                ok = ok and not bad
             md.append(f"- `{c}`: {mark}")
         md.append("\n```\n" + plan.strip()[:4000] + "\n```\n")
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:

@@ -149,6 +149,29 @@ def test_embedding_ops(spark):
     assert kj[0]["vec_id"] == 2
 
 
+def test_lsh_topk_multi_table_recall(spark):
+    """OR-amplified LSH: a vector that misses the first table's bucket
+    but hits the second is still a candidate; one that hits neither
+    never is."""
+    from doccrawler_spark.ops.similarity import lsh_topk
+
+    q = [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]
+    emb = spark.createDataFrame(
+        [
+            (0, q, 0),
+            (1, [-1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0], 0),  # table 2 hit
+            (2, [-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0], 0),   # no hit
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    two = {r["vec_id"] for r in lsh_topk(emb, q, k=3, n_bits=4, n_tables=2)
+           .collect()}
+    assert two == {0, 1}
+    one = {r["vec_id"] for r in lsh_topk(emb, q, k=3, n_bits=4, n_tables=1)
+           .collect()}
+    assert one == {0}
+
+
 def test_text_ops(spark, docs):
     from doccrawler_spark.ops.text import (
         fingerprints,
