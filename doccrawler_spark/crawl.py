@@ -375,10 +375,13 @@ def run_round(
             "n_batches",
             F.ceil(F.size("internal") / F.lit(cfg.filter_batch_size)).cast("int"),
         ).drop("raw_links")
-        # materialize once: `links` feeds BOTH the children pipeline and
-        # the budget-spend aggregate, and broadcast-exchange jobs would
-        # otherwise re-execute this whole lineage per consumer
-        links = links.localCheckpoint(eager=True)
+        # materialize once WHEN budget-gated: `links` then feeds BOTH
+        # the children pipeline and the budget-spend aggregate, and
+        # broadcast-exchange jobs would re-execute this whole lineage
+        # per consumer.  Unlimited budget has a single consumer — the
+        # checkpoint would only add a full materialization job.
+        if budget_gated:
+            links = links.localCheckpoint(eager=True)
 
         # ---- budget (F9): only the first `budget` consuming pages per
         # site can spend; bounded window after a salted top-k.
