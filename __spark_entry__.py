@@ -218,6 +218,15 @@ def _q_multimodal_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled frame ts
+    (explode-shaped output contract of a real frame sampler)."""
+    from doccrawler_spark.ops.multimodal import documents_as_media, frame_sample
+
+    media = documents_as_media(_doc(spark, sf_dir, "documents"))
+    return frame_sample(media, every_ms=200).orderBy("media_id", "frame_ts_ms")
+
+
 # relational operator checklist over the TPC-H-ish tables (SURVEY §2.6)
 
 
@@ -315,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "chunk_documents": _q_chunk_documents,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
         "groupby_agg": _q_groupby_agg,
         "broadcast_join": _q_broadcast_join,
         "anti_join": _q_anti_join,
@@ -549,6 +559,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                    substr(sha256(text), 1, 16) AS sha
             FROM documents ORDER BY media_id
+        """,
+        "multimodal_frames": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(range(0, octet_length(encode(text)) + 1, 200))
+                        AS INTEGER) AS frame_ts_ms
+            FROM documents WHERE doc_id % 3 = 2
+            ORDER BY media_id, frame_ts_ms
         """,
         "exact_dedup": f"""
             SELECT md5({_NORM}) AS fingerprint,

@@ -119,7 +119,8 @@ QUERY_SUBSET = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
     "embedding_neardup", "cosine_topk", "lsh_topk", "knn_join", "token_stats",
     "quality_scores", "lang_id", "fingerprint", "hybrid_topk", "chunk_documents",
-    "multimodal_features", "groupby_agg", "broadcast_join", "anti_join",
+    "multimodal_features", "multimodal_frames",
+    "groupby_agg", "broadcast_join", "anti_join",
     "topk_per_group", "sessionize",
 ]
 
