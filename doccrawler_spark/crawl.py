@@ -272,6 +272,19 @@ def run_round(
     has_delays: bool | None = None,
 ) -> dict:
     """One fetch→extract→discover→dedup round; commits round snapshots."""
+    import os
+
+    _phase_t: dict[str, float] = {}
+    _timing = bool(os.environ.get("CRAWL_PHASE_TIMING"))
+    _t0 = time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        if _timing:
+            now = time.time()
+            _phase_t[name] = round(now - _t0, 2)
+            _t0 = now
+
     frontier = catalog.read(spark, "frontier", round_ - 1)
     # unlimited budget (throughput mode) never gates and is never
     # updated, so the budget table stays at its round-0 snapshot —
@@ -338,7 +351,9 @@ def run_round(
         )
     )
     try:
+        _mark("plan")
         catalog.write(fetched, "crawled", round_)
+        _mark("fetch_extract_write")
         crawled_back = catalog.read(spark, "crawled", round_)
 
         # ---- per-partition lineage + fetch metrics (S9/O5 analogue)
@@ -349,6 +364,7 @@ def run_round(
             F.sum("html_len").alias("bytes_fetched"),
         ).withColumn("round", F.lit(round_))
         catalog.write(lineage, "metrics", round_)
+        _mark("metrics")
 
 
         # ---- discover (X2) on expanding pages only (F2/F3 gates)
@@ -494,6 +510,7 @@ def run_round(
             F.lit(False).alias("is_new"),
         ).unionByName(new_frontier_items)
         catalog.write(next_frontier, "frontier", round_)
+        _mark("discover_dedup_frontier")
 
         # ---- budget update: used' = min(max, used + Σ n_batches)
         # (skipped entirely for unlimited budget — table stays at r0)
@@ -537,6 +554,7 @@ def run_round(
                 F.lit("fetch_miss").alias("reason"),
             )
             catalog.write(misses, "errors", round_)
+            _mark("errors")
 
         # counts straight from the committed parquet footers / a single
         # driver-side column read — zero Spark jobs
@@ -552,6 +570,9 @@ def run_round(
                 catalog.count("errors", round_) if cfg.track_errors else None
             ),
         }
+        _mark("counts")
+        if _timing:
+            print(f"[phase] r{round_} {_phase_t}")
         catalog.write_state(round_, new_state)
         return new_state
     finally:
