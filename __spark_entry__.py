@@ -109,6 +109,16 @@ def _q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, list(qv), k=10, n_bits=8)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse quantizer from data-sampled centroids, probe the
+    2 nearest of 8 cells, exact cosine inside."""
+    from doccrawler_spark.ops.similarity import ivf_topk
+
+    emb = _doc(spark, sf_dir, "embeddings")
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return ivf_topk(emb, [float(x) for x in qv], k=10, n_cells=8, n_probe=2)
+
+
 def _q_knn_join(spark, sf_dir):
     """Bulk ANN: top-5 neighbors for each of the first 5 vectors,
     bucket equi-join (sign of first 4 dims) + per-query window."""
@@ -316,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "knn_join": _q_knn_join,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -504,6 +515,42 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_tiny_e2e": _tiny_crawl_golden_sql(),
         "hybrid_topk": _hybrid_topk_sql(),
+        "ivf_topk": """
+            WITH cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     list_transform(embedding::DOUBLE[],
+                       x -> x / (CASE WHEN sqrt(list_dot_product(
+                                        embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                                 THEN 1.0
+                                 ELSE sqrt(list_dot_product(
+                                        embedding::DOUBLE[], embedding::DOUBLE[]))
+                                 END)) AS c
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ), q AS (
+              SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              ORDER BY vec_id LIMIT 1
+            ), probes AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (
+                  ORDER BY list_dot_product(qv, c) DESC, cid ASC) AS rn
+                FROM cents, q
+              ) WHERE rn <= 2
+            ), celled AS (
+              SELECT vec_id, label, embedding, cid AS cell FROM (
+                SELECT e.vec_id, e.label, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c) DESC,
+                                  c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cents c
+              ) WHERE rn = 1
+            )
+            SELECT vec_id, label,
+                   round(list_dot_product(embedding::DOUBLE[], qv) /
+                         (sqrt(list_dot_product(qv, qv)) *
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cosine
+            FROM celled JOIN probes ON cell = probes.cid, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
         "knn_join": """
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS q_emb

@@ -117,7 +117,8 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
 
 QUERY_SUBSET = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
-    "embedding_neardup", "cosine_topk", "lsh_topk", "knn_join", "token_stats",
+    "embedding_neardup", "cosine_topk", "lsh_topk", "ivf_topk", "knn_join",
+    "token_stats",
     "quality_scores", "lang_id", "fingerprint", "hybrid_topk", "chunk_documents",
     "multimodal_features", "multimodal_frames",
     "groupby_agg", "broadcast_join", "anti_join",

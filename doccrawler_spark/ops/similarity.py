@@ -88,6 +88,49 @@ def lsh_topk(
     return cosine_topk(embeddings.filter(pred), query_vec, k)
 
 
+def _argmax_cell(emb_col, centroids: list[list[float]]):
+    """Cell id = index of the max-dot centroid (ties → smallest id).
+    Centroids are L2-normalized literals folded into the plan, so the
+    assignment is one codegen'd expression per row — no join."""
+    scores = F.array(*[
+        _dot(emb_col, F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_cells: int = 8, n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: a coarse quantizer (data-sampled centroids — the
+    first ``n_cells`` vectors by vec_id, L2-normalized) partitions the
+    corpus into cells; the query scores only the ``n_probe`` cells whose
+    centroids it is closest to.  Exact cosine + TakeOrderedAndProject
+    inside the probed cells.
+
+    Scale path: cell assignment is write-time work (the cell id is a
+    partition/cluster column), so a query scans n_probe/n_cells of the
+    data; centroids are a driver-side sample (bounded collect), the
+    classic IVF train-on-sample pattern."""
+    import math
+
+    rows = embeddings.orderBy("vec_id").limit(n_cells).collect()
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+
+    qscores = [sum(q * c for q, c in zip(query_vec, cc)) for cc in cents]
+    probes = sorted(range(len(cents)), key=lambda j: (-qscores[j], j))[:n_probe]
+
+    celled = embeddings.withColumn("cell", _argmax_cell(F.col("embedding"), cents))
+    return cosine_topk(
+        celled.filter(F.col("cell").isin(probes)), query_vec, k
+    )
+
+
 def knn_join(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4
 ) -> DataFrame:

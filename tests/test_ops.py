@@ -149,6 +149,36 @@ def test_embedding_ops(spark):
     assert kj[0]["vec_id"] == 2
 
 
+def test_ivf_topk_probes_nearest_cells(spark):
+    """IVF: only vectors in the probed cells are candidates; the exact
+    top-k inside the probes matches brute force restricted to them."""
+    from doccrawler_spark.ops.similarity import cosine_topk, ivf_topk
+
+    # two clear clusters around +x and +y; centroids = first 2 vectors
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),   # centroid cell 0
+            (1, [0.0, 1.0, 0.0, 0.0], 1),   # centroid cell 1
+            (2, [0.9, 0.1, 0.0, 0.0], 0),
+            (3, [0.1, 0.9, 0.0, 0.0], 1),
+            (4, [0.95, 0.05, 0.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+    got = ivf_topk(emb, q, k=5, n_cells=2, n_probe=1).collect()
+    assert {r["vec_id"] for r in got} == {0, 2, 4}  # cell-1 vectors pruned
+    # within the probed cell, ranking equals brute force
+    brute = cosine_topk(
+        emb.filter(F.col("vec_id").isin([0, 2, 4])), q, k=5
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
+    # probing both cells degrades to exact brute force
+    all_ = ivf_topk(emb, q, k=5, n_cells=2, n_probe=2).collect()
+    assert [r["vec_id"] for r in all_] == \
+        [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+
+
 def test_lsh_topk_multi_table_recall(spark):
     """OR-amplified LSH: a vector that misses the first table's bucket
     but hits the second is still a candidate; one that hits neither
