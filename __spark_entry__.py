@@ -622,13 +622,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH sh AS (
-              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest({_SHINGLES})), 1, 15))::BIGINT
+                       AS skey
+              FROM documents
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
             ), common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
               FROM sh a JOIN sh b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                ON a.skey = b.skey AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

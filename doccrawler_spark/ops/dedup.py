@@ -71,6 +71,21 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     return toked.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+def _shingle_keys(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, skey BIGINT) — shingles reduced to the first 60 bits of
+    their md5, computed BEFORE any shuffle so join/grouping keys are
+    8 bytes instead of ~90-byte 3-gram strings (an order of magnitude
+    less exchange traffic on a 100 TB corpus).  Collisions are 2^-60
+    per pair — and the DuckDB oracle computes the identical key, so
+    results stay bit-equal either way."""
+    sh = _shingles(documents, n)
+    return sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long").alias("skey"),
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.6,
     max_df: int | None = 100_000,
@@ -88,27 +103,27 @@ def ngram_jaccard_pairs(
     stop-shingles are missed and surviving pairs score a lower-bound
     Jaccard (stop-shingles leave the intersection count but not the
     union) — the standard candidate-prefilter tradeoff."""
-    sh = _shingles(documents, n)
+    sh = _shingle_keys(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # posting-list prune (result-preserving): a shingle held by a single
     # doc cannot produce a pair — drop it before the self-join.  In a
     # natural corpus most shingles are unique, so this removes most of
     # the join input; the surviving hot shingles are what AQE's
     # skew-join splitting is for.
-    df_per_shingle = sh.groupBy("shingle").count()
+    df_per_shingle = sh.groupBy("skey").count()
     if max_df is not None:
         df_per_shingle = df_per_shingle.filter(F.col("count") <= max_df)
-    shared = df_per_shingle.filter(F.col("count") > 1).select("shingle")
+    shared = df_per_shingle.filter(F.col("count") > 1).select("skey")
     # repartition by the join key so the per-shingle quadratic work is
     # spread across tasks (AQE would otherwise coalesce this small
     # shuffle to one partition and serialize the whole join)
-    sh = sh.join(shared, "shingle", "left_semi").repartition(
-        sh.sparkSession.sparkContext.defaultParallelism, "shingle"
+    sh = sh.join(shared, "skey", "left_semi").repartition(
+        sh.sparkSession.sparkContext.defaultParallelism, "skey"
     )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.skey") == F.col("b.skey"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
@@ -145,12 +160,9 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 16) -> DataFra
     affine family is pure codegen'd integer arithmetic after the single
     digest.  All intermediates < 2^62, so ANSI overflow-safe, and the
     DuckDB oracle replays it with identical BIGINT arithmetic."""
-    sh = _shingles(documents, n)
-    base = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        % F.lit(_MERSENNE)
+    hashed = _shingle_keys(documents, n).select(
+        "doc_id", (F.col("skey") % F.lit(_MERSENNE)).alias("b")
     )
-    hashed = sh.select("doc_id", base.alias("b"))
     return hashed.groupBy("doc_id").agg(
         F.array(*[
             F.min((F.col("b") * F.lit(2 * i + 1) + F.lit(i * _HASH_C))
