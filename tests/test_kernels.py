@@ -237,3 +237,51 @@ def test_fast_parser_equivalence():
     ]
     for h in inputs:
         assert extract_page(h) == extract_page_reference(h), h[:200]
+
+
+# ------------------------- property: JVM url columns == python kernels
+
+
+def test_url_columns_match_python_kernels_hypothesis(spark):
+    """host_col/path_col/strip_fragment_col (JVM regex) must agree with
+    the python kernels (urlparse semantics) on generated URLs including
+    query-only, fragment-only and empty-path shapes — the class of
+    divergence that silently breaks the same-domain filter (F5)."""
+    from hypothesis import given, settings, strategies as st
+
+    from doccrawler_spark import functions as Fx
+    from doccrawler_spark.kernels.urls import host_of, strip_fragment
+
+    host = st.from_regex(r"[a-z][a-z0-9]{0,8}(\.[a-z][a-z0-9]{0,5}){1,2}",
+                         fullmatch=True)
+    tail = st.one_of(
+        st.just(""),
+        st.from_regex(r"/[a-zA-Z0-9/_\-.]{0,20}", fullmatch=True),
+        st.from_regex(r"\?[a-z]{1,5}=[a-z0-9]{0,6}", fullmatch=True),
+        st.from_regex(r"/[a-zA-Z0-9/_\-.]{0,12}\?[a-z]{1,4}=[a-z0-9]{0,5}",
+                      fullmatch=True),
+        st.from_regex(r"#[a-zA-Z0-9\-]{0,10}", fullmatch=True),
+        st.from_regex(r"/[a-zA-Z0-9/_\-.]{0,12}#[a-zA-Z0-9\-]{0,8}",
+                      fullmatch=True),
+    )
+    urls_strategy = st.lists(
+        st.builds(lambda h, t: f"https://{h}{t}", host, tail),
+        min_size=1, max_size=60, unique=True,
+    )
+
+    from pyspark.sql import functions as F
+
+    @given(urls_strategy)
+    @settings(max_examples=12, deadline=None)
+    def check(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = df.select(
+            "url",
+            Fx.host_col(F.col("url")).alias("h"),
+            Fx.strip_fragment_col(F.col("url")).alias("s"),
+        ).collect()
+        for r in rows:
+            assert r["h"] == host_of(r["url"]), r["url"]
+            assert r["s"] == strip_fragment(r["url"]), r["url"]
+
+    check()
