@@ -79,6 +79,14 @@ def _q_minhash_lsh(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_minhash_verified(spark, sf_dir):
+    from doccrawler_spark.ops.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        _doc(spark, sf_dir, "documents"), n=3, k=16, bands=4, threshold=0.6
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_simhash(spark, sf_dir):
     from doccrawler_spark.ops.dedup import simhash64
 
@@ -322,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
+        "minhash_verified": _q_minhash_verified,
         "simhash": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
@@ -510,6 +519,42 @@ _SHINGLES = (
     f"i -> list_aggregate(list_slice({_TOKS}, i + 1, i + 3), 'string_agg', ' ')))"
 )
 
+# shared CTE chain: shingles → 60-bit md5 base → affine minhash sig →
+# banded keys → candidate pairs (used by minhash_lsh + minhash_verified)
+_MINHASH_CTES = f"""
+            WITH sh AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+            ), based AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT
+                       % 2147483647 AS b
+              FROM sh
+            ), sig AS (
+              SELECT doc_id,
+                     {", ".join(
+                         f"min((b * {2 * i + 1} + {i * 2654435761})"
+                         f" % 2147483647) AS h{i}" for i in range(16))}
+              FROM based GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id,
+                     [{", ".join(f"h{i}" for i in range(16))}] AS sig,
+                     unnest([
+                       {", ".join(
+                           "{'band': %d, 'key': %s}" % (
+                               b, " || '|' || ".join(
+                                   f"h{b*4+r}::VARCHAR" for r in range(4)))
+                           for b in range(4))}
+                     ]) AS bk
+              FROM sig
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.bk.band = b.bk.band AND a.bk.key = b.bk.key
+               AND a.doc_id < b.doc_id
+            )
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -642,42 +687,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
             ORDER BY doc_a, doc_b
         """,
-        "minhash_lsh": f"""
-            WITH sh AS (
-              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-            ), based AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT
-                       % 2147483647 AS b
-              FROM sh
-            ), sig AS (
-              SELECT doc_id,
-                     {", ".join(
-                         f"min((b * {2 * i + 1} + {i * 2654435761})"
-                         f" % 2147483647) AS h{i}" for i in range(16))}
-              FROM based GROUP BY doc_id
-            ), banded AS (
-              SELECT doc_id,
-                     [{", ".join(f"h{i}" for i in range(16))}] AS sig,
-                     unnest([
-                       {", ".join(
-                           "{'band': %d, 'key': %s}" % (
-                               b, " || '|' || ".join(
-                                   f"h{b*4+r}::VARCHAR" for r in range(4)))
-                           for b in range(4))}
-                     ]) AS bk
-              FROM sig
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     a.sig AS sig_a, b.sig AS sig_b
-              FROM banded a JOIN banded b
-                ON a.bk.band = b.bk.band AND a.bk.key = b.bk.key
-               AND a.doc_id < b.doc_id
-            )
+        "minhash_lsh": _MINHASH_CTES + """
             SELECT doc_a, doc_b,
                    round(len(list_filter(list_zip(sig_a, sig_b),
                          z -> z[1] = z[2])) / 16.0, 6) AS est_jaccard
             FROM cand ORDER BY doc_a, doc_b
+        """,
+        "minhash_verified": _MINHASH_CTES + """
+            , shk AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS skey
+              FROM sh
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id
+            ), common AS (
+              SELECT p.doc_a, p.doc_b, count(*) AS n_common
+              FROM (SELECT doc_a, doc_b FROM cand) p
+              JOIN shk a ON a.doc_id = p.doc_a
+              JOIN shk b ON b.doc_id = p.doc_b AND b.skey = a.skey
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6)
+                     AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.6
+            ORDER BY doc_a, doc_b
         """,
         "simhash": f"""
             WITH toks AS (

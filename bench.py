@@ -116,7 +116,7 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
 
 
 QUERY_SUBSET = [
-    "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash",
+    "exact_dedup", "ngram_jaccard", "minhash_lsh", "minhash_verified", "simhash",
     "embedding_neardup", "cosine_topk", "lsh_topk", "ivf_topk", "knn_join",
     "token_stats",
     "quality_scores", "lang_id", "fingerprint", "hybrid_topk", "chunk_documents",

@@ -224,6 +224,38 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    documents: DataFrame, n: int = 3, k: int = 16, bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Production near-dup shape: MinHash-LSH candidate generation
+    (recall) + EXACT Jaccard re-scoring of only the candidates
+    (precision).  The rescore joins each candidate pair back to the
+    8-byte shingle-key posting lists — cost ∝ candidates, never
+    all-pairs — and drops estimates below the exact threshold."""
+    cand = minhash_lsh_pairs(documents, n, k, bands).select("doc_a", "doc_b")
+    sh = _shingle_keys(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "skey")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "skey")
+    common = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "skey"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(za, "doc_a").join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash64(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash BIGINT) — 32-bit SimHash over unigram tokens.
 

@@ -101,6 +101,24 @@ def test_stop_shingle_cap_prunes_hot_shingles(spark):
     assert len(uncapped) == 15  # all C(6,2) pairs share the hot shingle
 
 
+def test_minhash_verified_rescore(spark, docs):
+    """LSH candidates re-scored with EXACT Jaccard: exact scores (not
+    estimates) and sub-threshold candidates dropped."""
+    from doccrawler_spark.ops.dedup import (
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_verified_pairs(docs, threshold=0.3).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    # every verified pair carries the exact score
+    for pair, j in got.items():
+        assert j == exact[pair], pair
+    assert got[(0, 1)] == 1.0 and got[(0, 5)] == 1.0
+
+
 def test_simhash_hamming(spark, docs):
     from doccrawler_spark.ops.dedup import simhash64
 
