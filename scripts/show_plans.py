@@ -121,6 +121,30 @@ def main() -> None:
         ["conv(substring(md5(", "partial_min", "Exchange"],
     ))
 
+    # 8. cluster-scale seen-set path: bucketed tables make the anti-join
+    # SHUFFLE-FREE (both sides pre-bucketed on url — the Iceberg
+    # bucket-transform layout crawl.py's dedup comments reference)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    seen_b = spark.range(50000).select(
+        F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url")
+    )
+    seen_b.write.mode("overwrite").bucketBy(8, "url").sortBy("url").format(
+        "parquet").saveAsTable("plans_seen_bucketed")
+    cand_b = spark.range(3000).select(
+        F.concat(F.lit("https://h/"), (F.col("id") * 7).cast("string")).alias("url")
+    )
+    cand_b.write.mode("overwrite").bucketBy(8, "url").sortBy("url").format(
+        "parquet").saveAsTable("plans_cand_bucketed")
+    anti = spark.table("plans_cand_bucketed").join(
+        spark.table("plans_seen_bucketed"), "url", "left_anti"
+    )
+    sections.append((
+        "Bucketed seen-set anti-join (cluster-scale F8: zero shuffle)",
+        plan_of(anti),
+        ["Bucketed: true", "LeftAnti", "!Exchange"],
+    ))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     md = [f"# BENCH/PLANS — physical plans of key operators ({datetime.date.today()})",
           "", "Regenerate with `python scripts/show_plans.py`. Each section lists",
           "the plan properties asserted (`!x` = must be ABSENT; present/absent",
