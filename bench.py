@@ -92,8 +92,8 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
         attempts.append({"crawl_sec": crawl_s, "timings": timings,
                          "pages": n_crawled})
         shutil.rmtree(snap, ignore_errors=True)
-        if crawl_s > 300:  # stay inside any driver time budget
-            break
+        if crawl_s > 420:  # stay inside any driver time budget; below
+            break          # that, a retry is the steal-window hedge
     best = min(attempts, key=lambda a: a["timings"].get("rounds_sec")
                or a["crawl_sec"])
     crawl_s, timings, n_crawled = (
