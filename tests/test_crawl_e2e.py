@@ -140,6 +140,34 @@ def test_resume_from_checkpoint(spark, tmp_path):
     _assert_equivalent(spark, oracle, catalog, golden)
 
 
+def test_resume_invisible_partial_round(spark, tmp_path):
+    """Atomic-manifest contract: a crash mid-round leaves data files
+    without a manifest — resume must neither read them (dedup/fetch
+    source) nor trip over them (overwrite on retry), and the final
+    crawl must still equal the oracle byte-for-byte."""
+    spec = tiny_spec()
+    web, pages, golden, seeds = _load(spark, spec)
+    oracle = SequentialOracle(pages, OracleConfig(max_depth=4)).run(seeds)
+
+    root = os.path.join(str(tmp_path), "snap")
+    ecfg = CrawlConfig(max_depth=4)
+    partial = CrawlConfig(**{**ecfg.__dict__, "max_rounds": 1})
+    crawl(spark, web, seeds, root, partial)
+
+    # simulate the crash: uncommitted data dirs + a torn tmp manifest
+    for t in ("crawled", "frontier", "errors", "metrics"):
+        d = os.path.join(root, t, "r00002")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-junk.parquet"), "wb") as f:
+            f.write(b"not a parquet file")
+    with open(os.path.join(root, "frontier",
+                           "_r00002.manifest.json.tmp.999"), "w") as f:
+        f.write("{")
+
+    catalog = crawl(spark, web, seeds, root, ecfg, resume=True)
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
 def test_sitemap_index_fallthrough(spark, tmp_path):
     """An existing-but-empty /sitemap.xml must fall through to
     /sitemap_index.xml (helper.py:219-225 breaks only when urls were
