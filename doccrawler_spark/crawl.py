@@ -81,6 +81,12 @@ class CrawlConfig:
     # degrades (and eventually stack-overflows) past ~1k values, so
     # keep this small; big rounds stream.
     point_lookup_max_frontier: int = 512
+    # seed-count cutoff below which round-0 probes use the driver-local
+    # IN-list point-lookup path (plan-time parquet pruning + broadcast
+    # joins); above it, probes run as a distributed semi-join and the
+    # probe relation is snapshotted instead of collected (10^6+-seed
+    # crawls never materialize on the driver)
+    seed_collect_max: int = 10_000
 
 
 def _with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -119,7 +125,7 @@ def seed_round(
     spark: SparkSession,
     catalog: SnapshotCatalog,
     web_pages: DataFrame,
-    seeds: list[str],
+    seeds: "list[str] | DataFrame",
     cfg: CrawlConfig,
 ) -> dict:
     """Round 0: site ids, sitemap probes, initial frontier + seen.
@@ -127,10 +133,24 @@ def seed_round(
     Mirrors crawler_usecase.main (crawler_usecase.py:104-151): seeds in
     input order; sitemap hit → every <loc> at depth 1, sitemap_mode,
     NOT in seen; miss → the seed itself at depth 1, pre-seen.
+
+    ``seeds`` is a python list (small crawls) or a DataFrame with a
+    ``seed_url`` column (and optional ``seed_ix`` ordering column) —
+    a 10^6+-row seed table never touches the driver: probes become a
+    distributed semi-join and the probe relation is snapshotted.
     """
-    seeds_df = spark.createDataFrame(
-        [(u, i) for i, u in enumerate(seeds)], "seed_url string, seed_ix int"
-    )
+    if isinstance(seeds, DataFrame):
+        seeds_df = seeds
+        if "seed_ix" not in seeds_df.columns:
+            # deterministic input order for priority assignment
+            seeds_df = global_sequence(seeds_df, ["seed_url"], "seed_ix")
+        n_seeds = seeds_df.count()
+    else:
+        seeds_df = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "seed_url string, seed_ix int"
+        )
+        n_seeds = len(seeds)
+
     base = F.regexp_replace(F.col("seed_url"), r"/+$", "")
     probes = seeds_df.select(
         "seed_url", "seed_ix",
@@ -138,38 +158,52 @@ def seed_round(
         F.concat(base, F.lit("/sitemap_index.xml")).alias("sm2"),
     )
 
-    # Pull every special row seeding needs — seed base pages, sitemap
-    # candidates, the seed hosts' robots.txt — with ONE static IN-list
-    # filter (the urls are pure functions of the seed list, known at
-    # plan time), which Catalyst pushes into the parquet scan as
-    # row-group-prunable predicates: no join, no full decode of the
-    # html corpus.  (For 10^6+-seed crawls swap in the equivalent
-    # broadcast left-semi join.)
-    from urllib.parse import urlparse
+    # Every special row seeding needs — seed base pages, sitemap
+    # candidates, the seed hosts' robots.txt — as pure functions of the
+    # seed urls (scheme://host from the same authority regex the
+    # same-domain filter uses; urlparse semantics).
+    scheme_host = F.regexp_extract("seed_url", r"^(https?://[^/?#\s]+)", 1)
+    probe_urls_df = seeds_df.select(
+        F.explode(F.array(
+            F.col("seed_url"),
+            F.concat(base, F.lit("/sitemap.xml")),
+            F.concat(base, F.lit("/sitemap_index.xml")),
+            F.concat(scheme_host, F.lit("/robots.txt")),
+        )).alias("url")
+    ).distinct()
 
-    probe_url_list: list[str] = []
-    for u in seeds:
-        b = u.rstrip("/")
-        probe_url_list += [
-            u, f"{b}/sitemap.xml", f"{b}/sitemap_index.xml",
-            f"{urlparse(u).scheme}://{urlparse(u).netloc}/robots.txt",
-        ]
-    # one pruned scan, then the ≤4·|seeds| surviving rows live in a
-    # driver-local relation: every downstream broadcast join references
-    # plain local data instead of re-executing corpus-scan lineage.
-    # (For 10^6+-seed crawls swap this collect for the cached-join path.)
-    probe_rows = (
-        web_pages.select("url", "html")
-        .filter(F.col("url").isin(probe_url_list))
-        .collect()
-    )
-    probe_pages = spark.createDataFrame(
-        probe_rows or [], "url string, html binary"
-    )
+    if n_seeds <= cfg.seed_collect_max:
+        # point-lookup path: a static IN-list filter Catalyst pushes
+        # into the parquet scan as row-group-prunable predicates (no
+        # join, no full decode); the ≤4·|seeds| surviving rows live in
+        # a driver-local relation so every downstream broadcast join
+        # references plain local data instead of corpus-scan lineage.
+        probe_url_list = [r["url"] for r in probe_urls_df.collect()]
+        probe_rows = (
+            web_pages.select("url", "html")
+            .filter(F.col("url").isin(probe_url_list))
+            .collect()
+        )
+        probe_pages = spark.createDataFrame(
+            probe_rows or [], "url string, html binary"
+        )
+        maybe_bc = F.broadcast
+    else:
+        # cluster-scale path: distributed semi-join against the seed
+        # urls, snapshotted once (it feeds FOUR downstream joins — a
+        # re-executed corpus scan per consumer would be 4x the cost),
+        # never collected.
+        catalog.write(
+            web_pages.select("url", "html")
+            .join(probe_urls_df, "url", "left_semi"),
+            "seed_probes", 0,
+        )
+        probe_pages = catalog.read(spark, "seed_probes", 0)
+        maybe_bc = lambda df: df  # too big to broadcast; AQE picks
 
     titled = (
         probes.join(
-            F.broadcast(probe_pages),
+            maybe_bc(probe_pages),
             probes.seed_url == probe_pages.url, "left",
         )
         .drop("url")
@@ -186,8 +220,8 @@ def seed_round(
     p1 = probe_pages.withColumnRenamed("html", "html1")
     p2 = probe_pages.withColumnRenamed("html", "html2")
     probed = (
-        sites.join(F.broadcast(p1), sites.sm1 == p1.url, "left").drop(p1.url)
-        .join(F.broadcast(p2), sites.sm2 == p2.url, "left").drop(p2.url)
+        sites.join(maybe_bc(p1), sites.sm1 == p1.url, "left").drop(p1.url)
+        .join(maybe_bc(p2), sites.sm2 == p2.url, "left").drop(p2.url)
         # fall through on PARSE RESULT, not file presence: an existing
         # sitemap.xml with zero <loc> urls falls back to
         # /sitemap_index.xml (helper.py:219-225 — "if urls_found: break")
@@ -236,7 +270,7 @@ def seed_round(
         ["seed_ix", "loc_ix", "url"],
         "priority",
         start=0,
-        num_partitions=1 if len(seeds) < 1000 else None,
+        num_partitions=1 if n_seeds < 1000 else None,
     ).select(
         *_FRONTIER_COLS,
         F.xxhash64("url").alias("url_hash"),
@@ -582,7 +616,7 @@ def run_round(
 def crawl(
     spark: SparkSession,
     web_pages: DataFrame,
-    seeds: list[str],
+    seeds: "list[str] | DataFrame",
     snapshot_root: str,
     cfg: CrawlConfig | None = None,
     resume: bool = False,

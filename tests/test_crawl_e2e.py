@@ -140,6 +140,25 @@ def test_resume_from_checkpoint(spark, tmp_path):
     _assert_equivalent(spark, oracle, catalog, golden)
 
 
+def test_dataframe_seeds_distributed_probe_path(spark, tmp_path):
+    """A seed TABLE (cluster-scale: 10^6+ seeds never on the driver)
+    must crawl identically to the same seeds as a python list; forcing
+    seed_collect_max=0 exercises the distributed semi-join probe path
+    plus the seed_probes snapshot."""
+    spec = tiny_spec()
+    web, pages, golden, seeds = _load(spark, spec)
+    oracle = SequentialOracle(pages, OracleConfig(max_depth=3)).run(seeds)
+
+    seeds_df = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(seeds)], "seed_url string, seed_ix int"
+    )
+    cfg = CrawlConfig(max_depth=3, seed_collect_max=0)
+    root = os.path.join(str(tmp_path), "snap")
+    catalog = crawl(spark, web, seeds_df, root, cfg)
+    assert catalog.exists("seed_probes", 0)
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+
 def test_resume_invisible_partial_round(spark, tmp_path):
     """Atomic-manifest contract: a crash mid-round leaves data files
     without a manifest — resume must neither read them (dedup/fetch
