@@ -32,6 +32,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--web", help="parquet path or iceberg table of web_pages")
     ap.add_argument("--seeds", nargs="*", default=[], help="seed URLs")
+    ap.add_argument("--seeds-table", default=None,
+                    help="parquet path or table with a seed_url column "
+                         "(cluster-scale: seeds never touch the driver)")
     ap.add_argument("--out", required=True, help="snapshot root (crawl state)")
     ap.add_argument("--max-depth", type=int, default=3)
     ap.add_argument("--budget", type=int, default=50,
@@ -59,14 +62,18 @@ def main() -> None:
         )
         seeds = [s["seed_url"] for s in gen_seeds(spec)]
     else:
-        if not args.web or not args.seeds:
-            ap.error("--web and --seeds are required without --demo")
-        web = (
-            spark.read.table(args.web)
-            if "/" not in args.web and "." in args.web
-            else spark.read.parquet(args.web)
-        )
-        seeds = args.seeds
+        if not args.web or not (args.seeds or args.seeds_table):
+            ap.error("--web and --seeds/--seeds-table are required without --demo")
+
+        def read_any(path: str):
+            return (
+                spark.read.table(path)
+                if "/" not in path and "." in path
+                else spark.read.parquet(path)
+            )
+
+        web = read_any(args.web)
+        seeds = read_any(args.seeds_table) if args.seeds_table else args.seeds
 
     cfg = CrawlConfig(
         max_depth=args.max_depth,
