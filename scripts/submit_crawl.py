@@ -25,7 +25,13 @@ atomic-manifest commit protocol, SURVEY.md §4.2).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# direct local invocation (python scripts/submit_crawl.py) puts scripts/
+# on sys.path, not the repo root; on a cluster --py-files supplies the
+# package instead and this insert is a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
