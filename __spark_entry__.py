@@ -128,15 +128,18 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_knn_join(spark, sf_dir):
-    """Bulk ANN: top-5 neighbors for each of the first 5 vectors,
-    bucket equi-join (sign of first 4 dims) + per-query window."""
+    """Bulk ANN: top-5 neighbors for each of the first 5 vectors —
+    multi-table banded sign-LSH (4 bands × 4 bits) + salted pre-top-k,
+    no unbounded window (the oracle replays the simple equivalent:
+    candidates sharing ≥1 band, global per-query top-k — the band-level
+    pre-top-k is lossless)."""
     from doccrawler_spark.ops.similarity import knn_join
 
     emb = _doc(spark, sf_dir, "embeddings")
     q = emb.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return knn_join(emb, q, k=5, n_bits=4).orderBy("q_id", "vec_id")
+    return knn_join(emb, q, k=5, n_bits=4, n_tables=4).orderBy("q_id", "vec_id")
 
 
 def _q_token_stats(spark, sf_dir):
@@ -187,6 +190,8 @@ def _q_hybrid_topk(spark, sf_dir):
             F.lit("framework").alias("sdk_framework"),
             F.lit(False).alias("has_code_snippet"),
             F.lit(None).cast("string").alias("version"),
+            F.lit(None).cast("string").alias("versions"),
+            F.array().cast("array<string>").alias("supported_languages"),
             F.array().cast("array<string>").alias("domains"),
             F.array().cast("array<string>").alias("subdomains"),
         ).alias("metadata"),
@@ -225,6 +230,29 @@ def _q_chunk_documents(spark, sf_dir):
         "url", "site_id", "chunk_ix", F.length("chunked_data").alias("chunk_chars"),
         "is_summary",
     ).orderBy("url", "chunk_ix")
+
+
+def _q_crawl_errors(spark, sf_dir):
+    """S8 error sink at the driver: crawl the tiny web (its fixture has
+    dead links — every 7th page links to a missing /doc/missingN URL)
+    and return every logged fetch miss; the oracle is a VALUES golden
+    from the independent sequential oracle's miss list
+    (tests/oracle.py; ref producer crawler_service.py:62-70, sink
+    error_repository.py:14-21)."""
+    from doccrawler_spark.crawl import CrawlConfig, crawl, errors_all
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    root = tempfile.mkdtemp(prefix="doccrawler_errors_")
+    catalog = crawl(spark, web, seeds, root, CrawlConfig(max_depth=3))
+    return errors_all(spark, catalog).orderBy("priority").select(
+        "url", "host", "site_id", "depth", "round", "priority", "reason"
+    )
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -343,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "hybrid_topk": _q_hybrid_topk,
         "chunk_documents": _q_chunk_documents,
+        "crawl_errors": _q_crawl_errors,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "groupby_agg": _q_groupby_agg,
@@ -356,11 +385,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ------------------------------------------------------------ oracle SQL
 
 
-def _tiny_crawl_golden_sql() -> str:
-    """VALUES-literal oracle for the flagship crawl: golden rows from
-    the SEQUENTIAL oracle (tests/oracle.py — an independent pure-Python
-    reimplementation of the reference crawl semantics, no Spark), over
-    the same deterministic tiny web ``entry()`` crawls."""
+_TINY_ORACLE_CACHE: list = []
+
+
+def _run_tiny_oracle():
+    """Run the SEQUENTIAL oracle (tests/oracle.py — an independent
+    pure-Python reimplementation of the reference crawl semantics, no
+    Spark) over the same deterministic tiny web ``entry()`` crawls;
+    memoized (crawl_tiny_e2e + crawl_errors goldens share one run)."""
+    if _TINY_ORACLE_CACHE:
+        return _TINY_ORACLE_CACHE[0]
     import importlib.util
     import sys
 
@@ -380,9 +414,19 @@ def _tiny_crawl_golden_sql() -> str:
     }
     seeds = [s["seed_url"] for s in gen_seeds(web_spec)]
     res = mod.SequentialOracle(pages, mod.OracleConfig(max_depth=3)).run(seeds)
+    _TINY_ORACLE_CACHE.append(res)
+    return res
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+
+def _sqlq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _tiny_crawl_golden_sql() -> str:
+    """VALUES-literal oracle for the flagship crawl (see
+    _run_tiny_oracle)."""
+    res = _run_tiny_oracle()
+    q = _sqlq
 
     rows = ", ".join(
         f"({q(r['url'])}, {q(r['site_id'])}, {r['depth']}, {r['round']}, "
@@ -396,6 +440,32 @@ def _tiny_crawl_golden_sql() -> str:
                CAST(text_len AS INTEGER) AS text_len
         FROM (VALUES {rows})
           AS t(url, site_id, depth, round, priority, text_len)
+        ORDER BY priority
+    """
+
+
+def _tiny_errors_golden_sql() -> str:
+    """VALUES-literal oracle for the S8 error sink: the sequential
+    oracle's fetch-miss rows (same tiny-web run as the flagship)."""
+    res = _run_tiny_oracle()
+    q = _sqlq
+    rows = ", ".join(
+        f"({q(r['url'])}, {q(r['host'])}, {q(r['site_id'])}, {r['depth']}, "
+        f"{r['round']}, {r['priority']}, 'fetch_miss')"
+        for r in sorted(res.miss_rows, key=lambda r: r["priority"])
+    )
+    if not rows:
+        rows = "(NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+        empty_filter = "WHERE url IS NOT NULL"
+    else:
+        empty_filter = ""
+    return f"""
+        SELECT url, host, site_id, CAST(depth AS INTEGER) AS depth,
+               CAST(round AS INTEGER) AS round,
+               CAST(priority AS BIGINT) AS priority, reason
+        FROM (VALUES {rows})
+          AS t(url, host, site_id, depth, round, priority, reason)
+        {empty_filter}
         ORDER BY priority
     """
 
@@ -500,7 +570,11 @@ def _hybrid_topk_sql() -> str:
 
 
 _NORM = "trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))"
-_TOKS = f"string_split_regex({_NORM}, ' +')"
+# single-pass tokens — mirrors doccrawler_spark.functions.tokens_col
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+    "t -> t <> '')"
+)
 
 _EN = "['the','and','of','to','in','is','that','with','for','on']"
 _ES = "['el','la','de','que','y','los','en','un','por','con']"
@@ -514,21 +588,35 @@ def _stop_hits(stop_list: str) -> str:
     )
 
 
-_SHINGLES = (
-    f"list_distinct(list_transform(range(0, len({_TOKS}) - 2), "
-    f"i -> list_aggregate(list_slice({_TOKS}, i + 1, i + 3), 'string_agg', ' ')))"
+# Integer shingle-key chain (mirrors ops/dedup.py _shingle_keys): one
+# md5 per TOKEN → 31-bit base, shingle key = positional XOR of bases
+# times odd constants (no shingle strings on either side).
+_SKEY_CONSTS = (506952113, 1520856339, 387276917)
+_BK = (
+    f"list_transform({_TOKS}, "
+    "t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)"
 )
+_SKEYS = (
+    "CASE WHEN len(bk) >= 3 THEN list_distinct(list_transform("
+    "range(0, len(bk) - 2), "
+    f"i -> xor(xor(bk[i+1] * {_SKEY_CONSTS[0]}, bk[i+2] * {_SKEY_CONSTS[1]}), "
+    f"bk[i+3] * {_SKEY_CONSTS[2]}))) ELSE []::BIGINT[] END"
+)
+# per-doc CTE chain ending in sh(doc_id, skey) — shared by the ngram /
+# minhash oracles
+_SH_CTES = f"""
+              bkt AS (
+                SELECT doc_id, {_BK} AS bk FROM documents
+              ), sh AS (
+                SELECT doc_id, unnest({_SKEYS}) AS skey FROM bkt
+              )
+"""
 
-# shared CTE chain: shingles → 60-bit md5 base → affine minhash sig →
-# banded keys → candidate pairs (used by minhash_lsh + minhash_verified)
+# shared CTE chain: shingle keys → affine minhash sig → banded keys →
+# candidate pairs (used by minhash_lsh + minhash_verified)
 _MINHASH_CTES = f"""
-            WITH sh AS (
-              SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-            ), based AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT
-                       % 2147483647 AS b
-              FROM sh
+            WITH {_SH_CTES}, based AS (
+              SELECT doc_id, skey % 2147483647 AS b FROM sh
             ), sig AS (
               SELECT doc_id,
                      {", ".join(
@@ -559,10 +647,12 @@ _MINHASH_CTES = f"""
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_tiny_e2e": _tiny_crawl_golden_sql(),
+        "crawl_errors": _tiny_errors_golden_sql(),
         "hybrid_topk": _hybrid_topk_sql(),
         "ivf_topk": """
             WITH cents AS (
-              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1
+                       AS cid,
                      list_transform(embedding::DOUBLE[],
                        x -> x / (CASE WHEN sqrt(list_dot_product(
                                         embedding::DOUBLE[], embedding::DOUBLE[])) = 0
@@ -570,7 +660,8 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE sqrt(list_dot_product(
                                         embedding::DOUBLE[], embedding::DOUBLE[]))
                                  END)) AS c
-              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+              FROM (SELECT * FROM embeddings
+                    ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8)
             ), q AS (
               SELECT embedding::DOUBLE[] AS qv FROM embeddings
               ORDER BY vec_id LIMIT 1
@@ -600,29 +691,37 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS q_emb
               FROM embeddings ORDER BY vec_id LIMIT 5
+            ), bands AS (
+              SELECT unnest(range(0, 4)) AS band
             ), qb AS (
-              SELECT q_id, q_emb,
-                     list_aggregate(list_transform(list_slice(q_emb, 1, 4),
-                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-                       'string_agg', '') AS bucket
-              FROM q
+              SELECT q_id, q_emb, band,
+                     list_aggregate(list_transform(range(0, 4),
+                       i -> CASE WHEN q_emb[band*4 + i + 1] >= 0
+                            THEN '1' ELSE '0' END),
+                       'string_agg', '') AS key
+              FROM q, bands
             ), cb AS (
-              SELECT vec_id, embedding,
-                     list_aggregate(list_transform(list_slice(embedding, 1, 4),
-                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
-                       'string_agg', '') AS bucket
-              FROM embeddings
-            ), joined AS (
+              SELECT vec_id, embedding, band,
+                     list_aggregate(list_transform(range(0, 4),
+                       i -> CASE WHEN embedding[band*4 + i + 1] >= 0
+                            THEN '1' ELSE '0' END),
+                       'string_agg', '') AS key
+              FROM embeddings, bands
+            ), cand AS (
+              -- OR across bands: a pair colliding in >=1 band, once
+              SELECT DISTINCT q_id, vec_id, q_emb, embedding
+              FROM qb JOIN cb USING (band, key)
+            ), scored AS (
               SELECT q_id, vec_id,
                      round(list_dot_product(embedding::DOUBLE[], q_emb::DOUBLE[]) /
                            (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
                             sqrt(list_dot_product(q_emb::DOUBLE[], q_emb::DOUBLE[]))), 6) AS cosine
-              FROM qb JOIN cb USING (bucket)
+              FROM cand
             ), ranked AS (
               SELECT q_id, vec_id, cosine,
                      row_number() OVER (PARTITION BY q_id
                        ORDER BY cosine DESC, vec_id ASC) AS rank
-              FROM joined
+              FROM scored
             )
             SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, cosine
             FROM ranked WHERE rank <= 5 ORDER BY q_id, vec_id
@@ -666,16 +765,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY fingerprint
         """,
         "ngram_jaccard": f"""
-            WITH sh AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(unnest({_SHINGLES})), 1, 15))::BIGINT
-                       AS skey
-              FROM documents
-            ), sizes AS (
+            WITH {_SH_CTES}, sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), keep AS (
+              -- the engine's max_df stop-shingle cap, replayed exactly:
+              -- a shingle held by more than 100000 docs never joins
+              SELECT skey FROM (
+                SELECT skey, count(*) AS df FROM sh GROUP BY skey
+              ) WHERE df <= 100000
+            ), shk AS (
+              SELECT sh.doc_id, sh.skey FROM sh JOIN keep USING (skey)
             ), common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-              FROM sh a JOIN sh b
+              FROM shk a JOIN shk b
                 ON a.skey = b.skey AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
@@ -694,17 +796,13 @@ def oracle_sql() -> dict[str, str]:
             FROM cand ORDER BY doc_a, doc_b
         """,
         "minhash_verified": _MINHASH_CTES + """
-            , shk AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS skey
-              FROM sh
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id
+            , sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
             ), common AS (
               SELECT p.doc_a, p.doc_b, count(*) AS n_common
               FROM (SELECT doc_a, doc_b FROM cand) p
-              JOIN shk a ON a.doc_id = p.doc_a
-              JOIN shk b ON b.doc_id = p.doc_b AND b.skey = a.skey
+              JOIN sh a ON a.doc_id = p.doc_a
+              JOIN sh b ON b.doc_id = p.doc_b AND b.skey = a.skey
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

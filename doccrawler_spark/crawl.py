@@ -102,10 +102,20 @@ def build_robots(spark: SparkSession, robots_rows: DataFrame) -> DataFrame:
     hosts, so no other robots files can ever matter) — never a full
     ``endswith`` scan of the corpus."""
     parsed = robots_rows.select(
+        F.col("url"),
         Fx.host_col(F.col("url")).alias("host"),
         Fx.parse_robots_udf(F.col("html")).alias("r"),
     )
-    return parsed.select("host", "r.disallow", "r.crawl_delay")
+    # one row per host: robots may have been probed under both schemes
+    # (https preferred, matching live-crawler behavior where the https
+    # fetch wins — 'https://…' sorts after 'http://…'); duplicate host
+    # rows would fan out every broadcast politeness join downstream
+    w = Window.partitionBy("host").orderBy(F.desc("url"))
+    return (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", "r.disallow", "r.crawl_delay")
+    )
 
 
 def _drop_disallowed(cand: DataFrame, robots: DataFrame, enabled: bool) -> DataFrame:
@@ -142,7 +152,9 @@ def seed_round(
     if isinstance(seeds, DataFrame):
         seeds_df = seeds
         if "seed_ix" not in seeds_df.columns:
-            # deterministic input order for priority assignment
+            # deterministic (LEXICOGRAPHIC seed_url) order — a DataFrame
+            # has no stable "input order"; pass an explicit seed_ix
+            # column when list-input ordering semantics matter
             seeds_df = global_sequence(seeds_df, ["seed_url"], "seed_ix")
         n_seeds = seeds_df.count()
     else:
@@ -163,12 +175,18 @@ def seed_round(
     # seed urls (scheme://host from the same authority regex the
     # same-domain filter uses; urlparse semantics).
     scheme_host = F.regexp_extract("seed_url", r"^(https?://[^/?#\s]+)", 1)
+    host_only = F.regexp_extract("seed_url", r"^https?://([^/?#\s]+)", 1)
     probe_urls_df = seeds_df.select(
         F.explode(F.array(
             F.col("seed_url"),
             F.concat(base, F.lit("/sitemap.xml")),
             F.concat(base, F.lit("/sitemap_index.xml")),
+            # robots.txt probed under BOTH the seed's scheme and https:
+            # an http:// seed must still pick up rules a corpus serves
+            # only at https://host/robots.txt (robots semantics are
+            # per-authority, not per-scheme)
             F.concat(scheme_host, F.lit("/robots.txt")),
+            F.concat(F.lit("https://"), host_only, F.lit("/robots.txt")),
         )).alias("url")
     ).distinct()
 
@@ -592,7 +610,7 @@ def run_round(
 
         # counts straight from the committed parquet footers / a single
         # driver-side column read — zero Spark jobs
-        n_new = catalog.count_true("frontier", round_, "is_new")
+        n_new = catalog.count_true("frontier", round_, "is_new", spark=spark)
         n_next = catalog.count("frontier", round_)
         new_state = {
             "next_priority": state["next_priority"] + n_new,

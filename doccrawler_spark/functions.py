@@ -47,6 +47,18 @@ _LOCALE_PATTERN = (
 )
 
 
+def tokens_col(col="text") -> Column:
+    """Lowercase alnum-run tokens in ONE regex pass: split on the
+    complement class, drop boundary empties.  Token-for-token identical
+    to the two-pass regexp_replace+trim+split form and to
+    kernels.embed.tokenize (re.findall('[a-z0-9]+')) — but the replace
+    pass (which rebuilds the whole string through
+    Matcher.appendReplacement) profiled as the DOMINANT cost of the
+    entire dedup/text family: a jstack mid-job showed all 32 executor
+    threads inside java.util.regex on it.  One pass halves that."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
+
+
 def strip_fragment_col(url: Column) -> Column:
     """Native fragment strip; falls back to the input when no match,
     mirroring kernels.urls.strip_fragment."""

@@ -112,6 +112,8 @@ def chunk_text(
                     "sdk_framework": sdk_framework,
                     "has_code_snippet": bool(_fence_langs(c)),
                     "version": None,
+                    "versions": None,
+                    "supported_languages": [],
                     "domains": [],
                     "subdomains": [],
                 },
@@ -148,6 +150,8 @@ def summary_chunk(
             "sdk_framework": "framework",
             "has_code_snippet": False,
             "version": None,
+            "versions": None,
+            "supported_languages": [],
             "domains": [],
             "subdomains": [],
         },

@@ -82,13 +82,26 @@ def register_embed_backend(name: str, batch_fn) -> None:
 
 
 def get_embed_backend(name: str = "hashing"):
+    """Resolve a backend by registered name, or by dotted path
+    ``"pkg.module:attr"`` — the import runs in WHICHEVER process calls
+    this (each executor's Python worker resolves its own copy), which
+    is exactly the ship-code-not-weights contract: the driver never
+    pickles a model into the plan, workers import it by name."""
     try:
         return _EMBED_BACKENDS[name]
     except KeyError:
-        raise ValueError(
-            f"unknown embed backend {name!r}; registered: "
-            f"{sorted(_EMBED_BACKENDS)}"
-        ) from None
+        pass
+    if ":" in name:
+        import importlib
+
+        mod_name, attr = name.split(":", 1)
+        fn = getattr(importlib.import_module(mod_name), attr)
+        _EMBED_BACKENDS[name] = fn  # per-process cache
+        return fn
+    raise ValueError(
+        f"unknown embed backend {name!r}; registered: "
+        f"{sorted(_EMBED_BACKENDS)} (or use 'pkg.module:attr')"
+    )
 
 
 def _fastembed_batch(texts, dim: int = 768) -> list[list[float]]:

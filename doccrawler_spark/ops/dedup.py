@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import tokens_col
+
 
 def _norm_text(col="text"):
     return F.trim(F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]+", " ")))
@@ -46,49 +48,110 @@ def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
-def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — word n-gram shingles of the normalized text,
-    distinct per doc.  JVM-native: sequence+transform+explode.
+# 2^31-1, prime — the classic Mersenne modulus for affine hash families
+_MERSENNE = (1 << 31) - 1
+_HASH_C = 2654435761  # Knuth multiplicative constant spaces the offsets
 
-    The token array is materialized as its own column FIRST: referencing
-    the raw split(...) expression inside the transform lambda would
-    re-run regexp_replace+split once per sequence element (no common
-    subexpression elimination across lambda scopes)."""
+
+def _pos_consts(n: int) -> list[int]:
+    """Per-position odd multipliers < 2^31 for the shingle-key combine
+    (odd ⇒ invertible mod 2^64, so positions never cancel)."""
+    return [((_HASH_C * (2 * j + 1)) % (1 << 31)) | 1 for j in range(n)]
+
+
+def _opt_barrier(col):
+    """Catalyst optimization barrier: a nondeterministic no-op
+    (``rand() >= -1`` is always true, value unchanged).
+
+    Why: PushDownPredicates substitutes project aliases into predicates
+    with NO cost check, and InferFiltersFromGenerate synthesizes
+    ``size(g) > 0 AND g IS NOT NULL`` under every explode.  Pushed
+    through the shingle-key projects, those predicates inline the
+    token-hash array into the PER-ELEMENT combine lambda, which
+    interpreted HOF eval then re-computes per shingle — O(tokens²)
+    digests per doc (measured: a 12k-doc job that runs in seconds hung
+    for 15+ minutes).  Predicates cannot cross a nondeterministic
+    projection, so wrapping the array output pins every downstream
+    reference to the materialized attribute.  (CollapseProject is
+    already safe by itself — SPARK-36718 stops it duplicating
+    non-cheap multi-referenced expressions.  ``rand() >= -1`` does NOT
+    work here: the optimizer constant-folds it away; a
+    monotonically_increasing_id comparison survives.)"""
+    return F.when(F.monotonically_increasing_id() >= F.lit(-1), col)
+
+
+def _shingle_key_arrays(
+    documents: DataFrame, n: int = 3, key_fn: str = "md5"
+) -> DataFrame:
+    """(doc_id, skey BIGINT) — word-n-gram shingle keys computed WITHOUT
+    ever materializing a shingle string.
+
+    r2 measured the md5-per-shingle path allocation-bound (stage scaling
+    0.25 at 8→32 cores: 3 string allocations per shingle row).  Now each
+    TOKEN hashes once to a 31-bit base b (one short-string digest), and
+    shingle i's key is pure codegen'd integer arithmetic over the base
+    array:  skey_i = XOR_j (b[i+j] · C_j)  with per-position odd
+    constants C_j < 2^31 — products < 2^62, ANSI-overflow-safe, ~62-bit
+    keys, zero per-shingle allocations.  Keys are 8 bytes on the wire
+    (vs ~90-byte 3-gram strings), collisions ~2^-62 per pair, and the
+    DuckDB oracle replays the identical integer math, so results stay
+    bit-equal either way.
+
+    ``key_fn``: 'md5' (default) keeps the token base oracle-replayable;
+    'xxhash64' (bench/scale path) computes the base as a native 64-bit
+    digest with NO string allocation at all — same downstream math, not
+    SQL-oracle-replayable (DuckDB lacks xxhash64)."""
     toked = _fan_out(documents, "doc_id").select(
-        "doc_id", F.split(_norm_text(), " ").alias("toks")
+        "doc_id", tokens_col("text").alias("toks")
     )
-    # Guard short docs: sequence(0, size-n) DESCENDS when size < n, and
-    # slice(toks, i+1, n) with a non-positive start throws at runtime.
-    # A doc with fewer than n tokens has zero shingles (matches the
-    # oracle's range(0, len-n+1) → empty list).
-    sh = F.when(
-        F.size("toks") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - F.lit(n)),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+    if key_fn == "xxhash64":
+        tkey = lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
+    elif key_fn == "md5":
+        tkey = lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+            % F.lit(_MERSENNE)
+        )
+    else:
+        raise ValueError(f"unknown shingle key_fn {key_fn!r}")
+    # base array materialized as its OWN column first: referencing an
+    # unaliased transform(...) inside the next lambda would re-run it
+    # once per sequence element (no CSE across lambda scopes)
+    based = toked.select("doc_id", F.transform("toks", tkey).alias("bk"))
+    consts = _pos_consts(n)
+
+    def _skey(i):
+        k = F.get(F.col("bk"), i) * F.lit(consts[0])
+        for j in range(1, n):
+            k = k.bitwiseXOR(F.get(F.col("bk"), i + j) * F.lit(consts[j]))
+        return k
+
+    # Guard short docs: sequence(0, size-n) DESCENDS when size < n.  A
+    # doc with fewer than n tokens has zero shingles (oracle: empty
+    # range).  Distinct per doc on the KEY array (the oracle dedups the
+    # same keys, so collision behavior matches bit-for-bit).
+    sk = F.when(
+        F.size("bk") >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size("bk") - F.lit(n)), _skey)
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return toked.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return based.select("doc_id", _opt_barrier(sk).alias("sk"))
 
 
-def _shingle_keys(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, skey BIGINT) — shingles reduced to the first 60 bits of
-    their md5, computed BEFORE any shuffle so join/grouping keys are
-    8 bytes instead of ~90-byte 3-gram strings (an order of magnitude
-    less exchange traffic on a 100 TB corpus).  Collisions are 2^-60
-    per pair — and the DuckDB oracle computes the identical key, so
-    results stay bit-equal either way."""
-    sh = _shingles(documents, n)
-    return sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("long").alias("skey"),
+def _shingle_keys(
+    documents: DataFrame, n: int = 3, key_fn: str = "md5"
+) -> DataFrame:
+    """(doc_id, skey BIGINT) — the exploded posting-list form of
+    :func:`_shingle_key_arrays` (self-joins want rows; minhash wants
+    the array form to avoid the explode+shuffle entirely)."""
+    return _shingle_key_arrays(documents, n, key_fn).select(
+        "doc_id", F.explode("sk").alias("skey")
     )
 
 
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.6,
-    max_df: int | None = 100_000,
+    max_df: int | None = 100_000, key_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -103,7 +166,7 @@ def ngram_jaccard_pairs(
     stop-shingles are missed and surviving pairs score a lower-bound
     Jaccard (stop-shingles leave the intersection count but not the
     union) — the standard candidate-prefilter tradeoff."""
-    sh = _shingle_keys(documents, n)
+    sh = _shingle_keys(documents, n, key_fn)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # posting-list prune (result-preserving): a shingle held by a single
     # doc cannot produce a pair — drop it before the self-join.  In a
@@ -144,42 +207,57 @@ def ngram_jaccard_pairs(
     )
 
 
-# 2^31-1, prime — the classic Mersenne modulus for affine hash families
-_MERSENNE = (1 << 31) - 1
-_HASH_C = 2654435761  # Knuth multiplicative constant spaces the offsets
-
-
-def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 16) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, k: int = 16, key_fn: str = "md5"
+) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[k]) — MinHash over word-n-gram
     shingles; hash family h_i(s) = (base(s)·(2i+1) + i·C) mod (2^31-1)
-    with base(s) = first 60 bits of md5(s).
+    with base(s) = the integer shingle key (see _shingle_keys — one
+    token digest + positional-XOR combine, no shingle strings).
 
-    ONE md5 per shingle + k integer affine maps — the earlier
-    md5(i||s)-per-i family allocated 16 hex strings per shingle row and
-    went GC-bound at 32 cores (0.29 scaling efficiency measured); the
-    affine family is pure codegen'd integer arithmetic after the single
-    digest.  All intermediates < 2^62, so ANSI overflow-safe, and the
-    DuckDB oracle replays it with identical BIGINT arithmetic."""
-    hashed = _shingle_keys(documents, n).select(
-        "doc_id", (F.col("skey") % F.lit(_MERSENNE)).alias("b")
+    Plan shape (r3): NO explode, NO shuffle — each doc's signature is
+    ``array_min(transform(shingle_keys, affine_i))`` per hash i, a
+    single narrow codegen'd projection over the per-doc key array.
+    The r2 formulation exploded ~100M shingle rows into a 16-column
+    min-aggregate (1.6B hash-agg updates + a shuffle) and was the
+    worst-scaling stage in the repo (0.25 at 8→32 cores); the history
+    before that: r1's md5(i||s)-per-i family (16 hex strings per
+    shingle row, GC-bound, 0.29), r2's md5-per-shingle (3 string
+    allocations per row).  All intermediates < 2^62, ANSI
+    overflow-safe, and the DuckDB oracle replays identical BIGINT
+    arithmetic (min over the same key set)."""
+    arrays = _shingle_key_arrays(documents, n, key_fn).filter(
+        F.size("sk") > 0
     )
-    return hashed.groupBy("doc_id").agg(
+    # b = key mod 2^31-1, materialized as its own column (CSE rule)
+    based = arrays.select(
+        "doc_id",
+        F.transform("sk", lambda s: s % F.lit(_MERSENNE)).alias("bk"),
+    )
+    return based.select(
+        "doc_id",
         F.array(*[
-            F.min((F.col("b") * F.lit(2 * i + 1) + F.lit(i * _HASH_C))
-                  % F.lit(_MERSENNE))
+            F.array_min(
+                F.transform(
+                    "bk",
+                    lambda b: (b * F.lit(2 * i + 1) + F.lit(i * _HASH_C))
+                    % F.lit(_MERSENNE),
+                )
+            )
             for i in range(k)
-        ]).alias("sig")
+        ]).alias("sig"),
     )
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, n: int = 3, k: int = 16, bands: int = 4
+    documents: DataFrame, n: int = 3, k: int = 16, bands: int = 4,
+    key_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs whose signatures collide in ≥1 LSH band
     (k/bands rows per band), with the estimated Jaccard = fraction of
     matching minhashes.  shingle→minhash→band→bucket-join."""
     rows = k // bands
-    sigs = minhash_signatures(documents, n, k)
+    sigs = minhash_signatures(documents, n, k, key_fn)
     banded = sigs.select(
         "doc_id", "sig",
         F.explode(
@@ -226,15 +304,17 @@ def minhash_lsh_pairs(
 
 def minhash_verified_pairs(
     documents: DataFrame, n: int = 3, k: int = 16, bands: int = 4,
-    threshold: float = 0.6,
+    threshold: float = 0.6, key_fn: str = "md5",
 ) -> DataFrame:
     """Production near-dup shape: MinHash-LSH candidate generation
     (recall) + EXACT Jaccard re-scoring of only the candidates
     (precision).  The rescore joins each candidate pair back to the
     8-byte shingle-key posting lists — cost ∝ candidates, never
     all-pairs — and drops estimates below the exact threshold."""
-    cand = minhash_lsh_pairs(documents, n, k, bands).select("doc_a", "doc_b")
-    sh = _shingle_keys(documents, n)
+    cand = minhash_lsh_pairs(documents, n, k, bands, key_fn).select(
+        "doc_a", "doc_b"
+    )
+    sh = _shingle_keys(documents, n, key_fn)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "skey")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "skey")
@@ -263,9 +343,7 @@ def simhash64(documents: DataFrame) -> DataFrame:
     sign of the sum sets bit b.  Kept at 32 bits so the whole thing
     stays in exact integer arithmetic everywhere."""
     bits = 32
-    toks = F.explode(
-        F.array_distinct(F.split(_norm_text(), " "))
-    ).alias("tok")
+    toks = F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
     t = documents.select("doc_id", toks).filter(F.col("tok") != "")
     # token hash = first 8 hex chars of md5 → 32-bit int
     t = t.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))

@@ -103,19 +103,27 @@ def ivf_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
     n_cells: int = 8, n_probe: int = 2,
 ) -> DataFrame:
-    """IVF ANN top-k: a coarse quantizer (data-sampled centroids — the
-    first ``n_cells`` vectors by vec_id, L2-normalized) partitions the
-    corpus into cells; the query scores only the ``n_probe`` cells whose
-    centroids it is closest to.  Exact cosine + TakeOrderedAndProject
-    inside the probed cells.
+    """IVF ANN top-k: a coarse quantizer (HASH-SAMPLED centroids — the
+    ``n_cells`` vectors with the lowest md5(vec_id), L2-normalized)
+    partitions the corpus into cells; the query scores only the
+    ``n_probe`` cells whose centroids it is closest to.  Exact cosine +
+    TakeOrderedAndProject inside the probed cells.
 
-    Scale path: cell assignment is write-time work (the cell id is a
-    partition/cluster column), so a query scans n_probe/n_cells of the
-    data; centroids are a driver-side sample (bounded collect), the
-    classic IVF train-on-sample pattern."""
+    Hash-order sampling is a deterministic uniform sample of the corpus
+    (md5 scrambles any vec_id assignment order), so cells are balanced
+    in expectation — unlike first-N-by-id, which on real data would
+    pick one ingest batch's near-identical vectors and collapse recall.
+    Production path at 100 TB: k-means|| on this same hash sample, same
+    plan shape.  Scale path: cell assignment is write-time work (the
+    cell id is a partition/cluster column), so a query scans
+    n_probe/n_cells of the data; centroids are a driver-side sample
+    (bounded collect), the classic IVF train-on-sample pattern."""
     import math
 
-    rows = embeddings.orderBy("vec_id").limit(n_cells).collect()
+    rows = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_cells).collect()
+    )
     cents = []
     for r in rows:
         v = [float(x) for x in r["embedding"]]
@@ -132,26 +140,62 @@ def ivf_topk(
 
 
 def knn_join(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4,
+    n_tables: int = 4, salt: int = 16,
 ) -> DataFrame:
     """Bulk ANN: for every query vector, its top-k neighbors from the
-    corpus, joined within sign buckets then windowed per query.
+    corpus.  queries: (q_id, q_emb ARRAY<FLOAT>).
 
-    queries: (q_id, q_emb ARRAY<FLOAT>).  The bucket equi-join replaces
-    the all-pairs cross join; the per-query top-k is a window over the
-    bucket-joined candidates (bounded per query)."""
+    Scale shape (r3, replacing the single-table 2^n_bits-global-bucket
+    design): multi-table banded sign-LSH — band t keys on the sign
+    pattern of dims [t·n_bits, (t+1)·n_bits), so recall OR-amplifies
+    across ``n_tables`` like :func:`lsh_topk`, and bucket population is
+    governed by n_bits per band (size n_bits so 2^n_bits ≫ corpus/
+    target-candidates; with band keys as write-time cluster columns
+    the join prunes to matching buckets).
+
+    No unbounded window anywhere: a salted per-(query, band) pre-top-k
+    caps every first-window partition at ~bucket/salt rows (same
+    two-phase trick as shuffle.topk_per_group), the per-(query, band)
+    merge sees ≤ salt·k rows, and the final per-query window sees
+    ≤ n_tables·k deduped candidates.  The pre-top-k is lossless: a
+    global-top-k candidate outranked by < k vectors globally is
+    outranked by < k inside any band bucket containing it.
+    """
     from pyspark.sql import Window
 
-    c = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
-    q = queries.withColumn("bucket", sign_bucket(F.col("q_emb"), n_bits))
+    def banded(df: DataFrame, vec_col: str) -> DataFrame:
+        return df.select(
+            *df.columns,
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("band"),
+                    sign_bucket(F.col(vec_col), n_bits, t * n_bits).alias("key"),
+                )
+                for t in range(n_tables)
+            ])).alias("bk"),
+        ).select(*df.columns, "bk.band", "bk.key")
+
+    c = banded(embeddings, "embedding")
+    q = banded(queries, "q_emb")
     cos = _dot(F.col("embedding"), F.col("q_emb")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_emb"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    joined = q.join(c, ["band", "key"]).withColumn("cosine", F.round(cos, 6))
+    order = [F.desc("cosine"), F.asc("vec_id")]
+    w_sub = Window.partitionBy("q_id", "band", "_salt").orderBy(*order)
+    w_band = Window.partitionBy("q_id", "band").orderBy(*order)
+    w_q = Window.partitionBy("q_id").orderBy(*order)
     return (
-        q.join(c, "bucket")
-        .withColumn("cosine", F.round(cos, 6))
-        .withColumn("rank", F.row_number().over(w))
+        joined
+        .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(salt)))
+        .withColumn("_srn", F.row_number().over(w_sub))
+        .filter(F.col("_srn") <= k)
+        .withColumn("_brn", F.row_number().over(w_band))
+        .filter(F.col("_brn") <= k)
+        .select("q_id", "vec_id", "cosine")
+        .dropDuplicates(["q_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w_q))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "cosine")
     )

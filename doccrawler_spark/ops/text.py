@@ -17,7 +17,9 @@ FR_STOP = ["le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"]
 
 
 def _tokens(col):
-    return F.split(F.trim(F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]+", " "))), " +")
+    from ..functions import tokens_col
+
+    return tokens_col(col)
 
 
 def _stop_hits(tokens, stops: list[str]):

@@ -20,6 +20,7 @@ from .kernels.chunker import chunk_text, summary_chunk
 METADATA_SCHEMA = (
     "struct<sdk_framework_name:string, base_url:string, href:string, "
     "sdk_framework:string, has_code_snippet:boolean, version:string, "
+    "versions:string, supported_languages:array<string>, "
     "domains:array<string>, subdomains:array<string>>"
 )
 CHUNKS_SCHEMA = (
@@ -106,15 +107,11 @@ def fit_bm25_distributed(
     discrimination, never common-term ranking."""
     toks = chunks.select(
         F.col("chunked_data").alias("t"),
-        F.array_distinct(
-            F.split(F.lower(F.regexp_replace("chunked_data", "[^a-zA-Z0-9]+", " ")), " ")
-        ).alias("toks"),
+        F.array_distinct(Fx.tokens_col("chunked_data")).alias("toks"),
     )
     stats_row = chunks.select(
         F.count("*").alias("n"),
-        F.avg(F.size(F.split(F.trim(
-            F.lower(F.regexp_replace("chunked_data", "[^a-zA-Z0-9]+", " "))
-        ), " +"))).alias("avgdl"),
+        F.avg(F.size(Fx.tokens_col("chunked_data"))).alias("avgdl"),
     ).collect()[0]
     df_agg = (
         toks.select(F.explode("toks").alias("tok"))
@@ -136,20 +133,46 @@ def fit_bm25_distributed(
     return embed_k.BM25Stats(idf, float(stats_row["avgdl"] or 1.0), n)
 
 
+def _norm_version_field(v):
+    """Reference rule for version-ish string fields
+    (upsert_usecase/helper.py:59-90): drop iff the value is one of the
+    EXACT sentinels None/''/'none'/'null' (case-sensitive — 'None'
+    survives and lowercases), else keep str(value).lower()."""
+    return F.when(
+        v.isNotNull() & ~v.isin("", "none", "null"), F.lower(v)
+    )
+
+
 def normalize_metadata(chunks: DataFrame) -> DataFrame:
     """X9 metadata normalization (upsert_usecase/helper.py:37-155):
-    lowercase stringification of enum-ish fields, drop empty version,
-    inject chunked_data into metadata, stable id."""
+    lowercase stringification of enum-ish fields, drop empty
+    version/versions/supported_languages, inject chunked_data into
+    metadata, stable id."""
     m = F.col("metadata")
+    # str(list).lower() of a non-empty list — "['a', 'b']" — exactly as
+    # the reference stringifies supported_languages (helper.py:100-117);
+    # empty/None drops to NULL (the reference deletes the key)
+    langs = m["supported_languages"]
+    langs_str = F.when(
+        langs.isNotNull() & (F.size(langs) > 0),
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(langs, lambda x: F.concat(F.lit("'"), F.lower(x), F.lit("'"))),
+                ", ",
+            ),
+            F.lit("]"),
+        ),
+    )
     meta = F.struct(
         F.lower(m["sdk_framework_name"]).alias("sdk_framework_name"),
         m["base_url"].alias("base_url"),
         m["href"].alias("href"),
         F.lower(m["sdk_framework"]).alias("sdk_framework"),
         F.lower(m["has_code_snippet"].cast("string")).alias("has_code_snippet"),
-        F.when(
-            m["version"].isNotNull() & (F.trim(m["version"]) != ""), m["version"]
-        ).alias("version"),
+        _norm_version_field(m["version"]).alias("version"),
+        _norm_version_field(m["versions"]).alias("versions"),
+        langs_str.alias("supported_languages"),
         F.transform(m["domains"], F.lower).alias("domains"),
         F.transform(m["subdomains"], F.lower).alias("subdomains"),
         F.col("chunked_data").alias("chunked_data"),

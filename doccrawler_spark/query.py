@@ -109,9 +109,9 @@ def hybrid_query(
     # |query_tokens ∩ doc_tokens| / |query_tokens| (kernels.embed.rerank_score)
     q_tokens = sorted(set(embed_k.tokenize(query_text)))
     if q_tokens:
-        doc_tokens = F.array_distinct(
-            F.split(F.lower(F.regexp_replace("chunked_data", "[^a-zA-Z0-9]+", " ")), " ")
-        )
+        # single-pass tokens (Fx.tokens_col); empty-string tokens could
+        # never intersect a real query token, so the value is identical
+        doc_tokens = F.array_distinct(Fx.tokens_col("chunked_data"))
         q_lit = F.array(*[F.lit(t) for t in q_tokens])
         rr = F.size(F.array_intersect(doc_tokens, q_lit)) / F.lit(len(q_tokens))
     else:

@@ -116,18 +116,71 @@ class SnapshotCatalog:
                 total += pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
         return total
 
-    def count_true(self, table: str, round_: int, column: str) -> int:
-        """Rows where a boolean ``column`` is true, by reading ONLY that
-        column driver-side via pyarrow — cheaper than a Spark job for
-        the small per-round control counts."""
+    # mixed row groups above this many total rows switch count_true to
+    # a distributed Spark count instead of a driver-side column read
+    COUNT_TRUE_DRIVER_MAX_ROWS = 50_000_000
+
+    def count_true(
+        self, table: str, round_: int, column: str, spark=None
+    ) -> int:
+        """Rows where a boolean ``column`` is true — from parquet
+        ROW-GROUP STATISTICS wherever possible (a row group whose
+        min == max is homogeneous: contributes num_rows or 0 with zero
+        data read — frontier deltas are written new-rows-then-deferred,
+        so most groups are homogeneous).  Only MIXED row groups read
+        the column, and only driver-side below a row cap; above it (a
+        10^10-row frontier delta must never stream through the driver)
+        the residual count runs as a distributed Spark job over the
+        same files (Iceberg equivalent: snapshot summary counts)."""
         import pyarrow.parquet as pq
         import pyarrow.compute as pc
 
         d = self.data_dir(table, round_)
         total = 0
-        for name in os.listdir(d):
-            if name.endswith(".parquet"):
-                t = pq.read_table(os.path.join(d, name), columns=[column])
+        # files with >=1 non-homogeneous group: (path, stats_part, groups)
+        mixed_files: list[tuple[str, int, list[int]]] = []
+        n_mixed_rows = 0
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(d, name)
+            f = pq.ParquetFile(path)
+            try:
+                ci = f.schema_arrow.get_field_index(column)
+            except KeyError:
+                ci = -1
+            file_stats = 0
+            file_mixed: list[int] = []
+            for g in range(f.metadata.num_row_groups):
+                rg = f.metadata.row_group(g)
+                stats = rg.column(ci).statistics if ci >= 0 else None
+                if stats is not None and stats.has_min_max and (
+                    stats.min == stats.max
+                ) and not (stats.null_count or 0):
+                    file_stats += rg.num_rows if stats.min else 0
+                else:
+                    file_mixed.append(g)
+                    n_mixed_rows += rg.num_rows
+            if file_mixed:
+                mixed_files.append((path, file_stats, file_mixed))
+            else:
+                total += file_stats
+        if not mixed_files:
+            return total
+        if spark is not None and n_mixed_rows > self.COUNT_TRUE_DRIVER_MAX_ROWS:
+            # whole-file distributed recount of only the mixed files
+            # (their stats_part is NOT pre-added, so no double count)
+            from pyspark.sql import functions as F
+
+            paths = sorted(p for p, _, _ in mixed_files)
+            return total + (
+                spark.read.parquet(*paths).filter(F.col(column)).count()
+            )
+        for path, file_stats, groups in mixed_files:
+            total += file_stats
+            f = pq.ParquetFile(path)
+            for g in groups:
+                t = f.read_row_group(g, columns=[column])
                 total += pc.sum(pc.cast(t[column], "int64")).as_py() or 0
         return total
 

@@ -102,10 +102,15 @@ def stage_minhash():
     minhash_signatures(docs_like, n=3, k=16).select(
         F.sum(F.size("sig"))).collect()
 
+def stage_minhash_xx():
+    from doccrawler_spark.ops.dedup import minhash_signatures
+    minhash_signatures(docs_like, n=3, k=16, key_fn="xxhash64").select(
+        F.sum(F.size("sig"))).collect()
+
 out = {}
 for name, fn in [("scan", stage_scan), ("extract", stage_extract),
                  ("vectorize", stage_vectorize), ("jvm_hash", stage_jvm_hash),
-                 ("minhash", stage_minhash)]:
+                 ("minhash", stage_minhash), ("minhash_xx", stage_minhash_xx)]:
     best = None
     for _ in range(repeats):
         t0 = time.time()
@@ -169,7 +174,8 @@ def main() -> None:
 
     rows = "\n".join(
         f"| {k} | {lo[k]} | {hi[k]} | {effs[k]} |"
-        for k in ["scan", "extract", "vectorize", "jvm_hash", "minhash"]
+        for k in ["scan", "extract", "vectorize", "jvm_hash", "minhash",
+                  "minhash_xx"]
     )
     md = f"""# BENCH/STAGES — per-stage strong scaling ({datetime.date.today()})
 

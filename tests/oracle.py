@@ -46,6 +46,9 @@ class OracleResult:
     seen: set[str] = field(default_factory=set)
     budget: dict[str, int] = field(default_factory=dict)
     misses: list[str] = field(default_factory=list)
+    # rich form of misses (url/host/site_id/depth/round/priority) — the
+    # golden rows for the engine's S8 errors sink
+    miss_rows: list[dict] = field(default_factory=list)
     rounds: int = 0
 
 
@@ -141,6 +144,10 @@ class SequentialOracle:
                 html = self.pages.get(url)
                 if html is None:  # fetch miss == result.success False
                     res.misses.append(url)
+                    res.miss_rows.append({
+                        "url": url, "host": host_of(url), "site_id": site_id,
+                        "depth": depth, "round": round_, "priority": prio,
+                    })
                     continue
                 md, hidden = extract_page(html)
                 text = merge_content(md, hidden)

@@ -223,6 +223,34 @@ def test_error_sink_records_fetch_misses(spark, tmp_path):
     _assert_equivalent(spark, oracle, catalog, golden)
 
 
+def test_count_true_stats_and_spark_fallback(spark, tmp_path):
+    """count_true must agree with a full count across all three paths:
+    pure row-group statistics (homogeneous groups), driver-side reads
+    of mixed groups, and the distributed Spark fallback (forced by a
+    tiny row cap) — and never double-count homogeneous groups inside
+    mixed files."""
+    from pyspark.sql import functions as F
+
+    from doccrawler_spark.snapshots import SnapshotCatalog
+
+    catalog = SnapshotCatalog(str(tmp_path / "snap"))
+    # 4 partitions: some all-true, some all-false, some mixed
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        ((F.col("id") % 3 == 0) | (F.col("id") < 1000)).alias("flag"),
+    ).repartition(4, "id")
+    catalog.write(df, "t", 0)
+    expected = df.filter("flag").count()
+    assert catalog.count_true("t", 0, "flag") == expected
+    assert catalog.count_true("t", 0, "flag", spark=spark) == expected
+    old = SnapshotCatalog.COUNT_TRUE_DRIVER_MAX_ROWS
+    SnapshotCatalog.COUNT_TRUE_DRIVER_MAX_ROWS = 0  # force Spark path
+    try:
+        assert catalog.count_true("t", 0, "flag", spark=spark) == expected
+    finally:
+        SnapshotCatalog.COUNT_TRUE_DRIVER_MAX_ROWS = old
+
+
 def test_invariants(spark, tmp_path):
     """Property checks: no URL fetched twice per site, nothing at depth
     >= MAX_DEPTH, seen-set monotone (SURVEY.md §5.2 item 4)."""

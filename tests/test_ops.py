@@ -197,6 +197,63 @@ def test_ivf_topk_probes_nearest_cells(spark):
         [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
 
 
+def test_knn_join_matches_bruteforce_within_candidates(spark):
+    """The salted two-phase pre-top-k must be LOSSLESS: knn_join output
+    equals the global per-query top-k over all candidates sharing >=1
+    band — computed here by brute force on a random-ish corpus."""
+    import math
+    import random
+
+    from doccrawler_spark.ops.similarity import knn_join
+
+    rng = random.Random(7)
+    dim, n_bits, n_tables, k = 8, 2, 3, 3
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+              for i in range(60)]
+    queries = [(100 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+               for i in range(4)]
+
+    def key(v, t):
+        return "".join(
+            "1" if (v[t * n_bits + j] if t * n_bits + j < len(v) else 0) >= 0
+            else "0" for j in range(n_bits)
+        )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "q_id long, q_emb array<float>")
+    got = {
+        (r["q_id"], r["vec_id"]): (r["rank"], r["cosine"])
+        for r in knn_join(emb, qdf, k=k, n_bits=n_bits, n_tables=n_tables,
+                          salt=4).collect()
+    }
+    # float32 storage rounds the vectors before Spark sees them, so
+    # compare ranks on the float32-rounded expectation
+    expected32 = {}
+    for qid, qv in queries:
+        import struct
+        f32 = lambda v: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        cand = [
+            (vid, f32(v)) for vid, v in corpus
+            if any(key(f32(v), t) == key(f32(qv), t) for t in range(n_tables))
+        ]
+        ranked = sorted(
+            ((cos(f32(qv), v), vid) for vid, v in cand),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for r, (c, vid) in enumerate(ranked, 1):
+            expected32[(qid, vid)] = (r, c)
+    assert set(got) == set(expected32)
+    for pair, (rank, c) in expected32.items():
+        assert got[pair][0] == rank, pair
+        assert abs(got[pair][1] - c) < 1e-5, pair
+
+
 def test_lsh_topk_multi_table_recall(spark):
     """OR-amplified LSH: a vector that misses the first table's bucket
     but hits the second is still a candidate; one that hits neither

@@ -100,6 +100,54 @@ def test_normalize_metadata_rules(spark, crawled):
     assert sorted(ids) == sorted(ids2)
 
 
+def test_normalize_versions_and_supported_languages(spark):
+    """X9 fidelity for the two reference fields added in r3
+    (upsert_usecase/helper.py:59-117): exact sentinel drops
+    (None/''/'none'/'null' — case-sensitive), lowercase
+    stringification otherwise; supported_languages stringifies as
+    str(list).lower() and drops when empty."""
+    from doccrawler_spark.pipeline import CHUNKS_SCHEMA
+
+    rows = [
+        ("u0", "s", 0, "d", ("n", "b", "h", "sdk", False, "V2.1", "V1, V2",
+                             ["Python", "JS"], [], []), False),
+        ("u1", "s", 0, "d", ("n", "b", "h", "sdk", False, "", "none",
+                             [], [], []), False),
+        ("u2", "s", 0, "d", ("n", "b", "h", "sdk", False, "null", "None",
+                             None, [], []), False),
+    ]
+    chunks = spark.createDataFrame(rows, CHUNKS_SCHEMA)
+    got = {r["url"]: r["metadata"] for r in normalize_metadata(chunks).collect()}
+    assert got["u0"]["version"] == "v2.1"
+    assert got["u0"]["versions"] == "v1, v2"
+    assert got["u0"]["supported_languages"] == "['python', 'js']"
+    assert got["u1"]["version"] is None          # '' → dropped
+    assert got["u1"]["versions"] is None         # 'none' → dropped
+    assert got["u1"]["supported_languages"] is None  # [] → dropped
+    assert got["u2"]["version"] is None          # 'null' → dropped
+    assert got["u2"]["versions"] == "none"       # 'None' survives, lowered
+    assert got["u2"]["supported_languages"] is None  # NULL → dropped
+
+
+def test_embed_backend_executor_roundtrip(spark, crawled):
+    """A custom registered backend must resolve INSIDE the executor
+    Python workers (kernels/embed.py ship-code-not-weights contract):
+    build_vectors with the dotted-path name runs the toy backend through
+    a real pandas UDF and the vectors match driver-side recomputation."""
+    from tests.toy_backend import toy_embed_batch
+
+    chunks = chunk_pages(crawled).limit(20)
+    vectors, _ = build_vectors(
+        spark, chunks, dim=4, embed_backend="tests.toy_backend:toy_embed_batch"
+    )
+    rows = vectors.select("chunked_data", "values").collect()
+    assert rows
+    for r in rows:
+        expected = toy_embed_batch([r["chunked_data"]], dim=4)[0]
+        assert [round(float(x), 4) for x in r["values"]] == \
+            [round(x, 4) for x in expected]
+
+
 def test_full_pipeline_to_query(spark, crawled):
     from doccrawler_spark.query import hybrid_query
 
