@@ -213,12 +213,22 @@ def _q_chunk_documents(spark, sf_dir):
     synthesized from the documents table: two headed sections per doc
     exercise the heading split AND the min-chunk merge rule; the DuckDB
     oracle restates both rules in closed form (rich fence/re-homing
-    paths are pinned by tests/test_pipeline.py goldens)."""
+    paths are pinned by tests/test_pipeline.py goldens).
+
+    The section body is sanitized to a single nonempty line with no
+    '#'/backtick/newline (collapse non-alnum runs, prefix 'x') so the
+    closed form holds for ARBITRARY driver text — an un-sanitized doc
+    containing heading/fence markers or leading '#' lines would chunk
+    differently than the closed form predicts."""
     from doccrawler_spark.pipeline import chunk_pages
 
     docs = _doc(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("x"),
+        F.trim(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")),
+    )
     md = F.concat(
-        F.lit("# Guide\n"), F.col("text"), F.lit("\n## Usage\n"), F.col("text")
+        F.lit("# Guide\n"), body, F.lit("\n## Usage\n"), body
     )
     crawled_like = docs.select(
         F.col("doc_id").cast("string").alias("url"),
@@ -727,10 +737,15 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5 ORDER BY q_id, vec_id
         """,
         "chunk_documents": """
-            WITH t AS (
+            WITH s AS (
               SELECT doc_id::VARCHAR AS url, source AS site_id,
-                     8 + length(text) AS n1, 9 + length(text) AS n2
+                     'x' || trim(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))
+                       AS body
               FROM documents
+            ), t AS (
+              SELECT url, site_id,
+                     8 + length(body) AS n1, 9 + length(body) AS n2
+              FROM s
             )
             SELECT url, site_id, CAST(0 AS INTEGER) AS chunk_ix,
                    CAST(CASE WHEN n2 < 200 THEN n1 + 2 + n2 ELSE n1 END

@@ -72,8 +72,12 @@ class CrawlConfig:
     embed_dim: int = 64
     # frontier-size cutoff below which seen-set dedup uses the
     # broadcast semi/anti path (seen never shuffled); above it, the
-    # plain shuffle anti-join (bucketed seen at cluster scale)
+    # hash-bucketed seen TABLE (one append per round, anti-join reads
+    # buckets in place — Exchange only on the candidate side)
     broadcast_dedup_max_frontier: int = 2_000_000
+    # bucket count of the seen table (cluster sizing: ≈ total seen
+    # bytes / 256 MB; sandbox default keeps files small)
+    seen_buckets: int = 64
     # frontier-size cutoff below which fetch uses an IN-list point
     # lookup (parquet row-group stats pruning — the CDX-index pattern:
     # a 12-URL round must not decode the whole corpus) instead of
@@ -314,6 +318,24 @@ def seed_round(
     return state
 
 
+def _ensure_seen_table(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
+                       upto_round: int):
+    """Heal the bucketed seen table through ``upto_round``: append the
+    is_new url delta of every committed frontier round that has no
+    committed append manifest yet (idempotent), then return the
+    vacuumed table.  Crash-safe by construction — a torn append leaves
+    un-manifested files that seen_table() vacuums."""
+    appended = set(catalog.seen_appended_rounds())
+    for r in catalog.committed_rounds("frontier"):
+        if r <= upto_round and r not in appended:
+            delta = (
+                catalog.read(spark, "frontier", r)
+                .filter(F.col("is_new")).select("url")
+            )
+            catalog.seen_append(spark, delta, r, cfg.seen_buckets)
+    return catalog.seen_table(spark, cfg.seen_buckets)
+
+
 def run_round(
     spark: SparkSession,
     catalog: SnapshotCatalog,
@@ -511,34 +533,40 @@ def run_round(
             ).alias("w")
         ).select("url", "w.*").localCheckpoint(eager=True)
 
-        # ---- global seen-set anti-join (F8) against all committed
-        # frontier deltas (rows with is_new=true are the seen-set; the
-        # boolean filter pushes into the parquet scan).  Only rounds
-        # strictly before this one — a partially-committed attempt of
-        # THIS round must not dedup against itself on resume.
-        seen_paths = [
-            catalog.data_dir("frontier", r)
-            for r in catalog.committed_rounds("frontier")
-            if r < round_
-        ]
-        seen = (
-            spark.read.parquet(*seen_paths)
-            .filter(F.col("is_new"))
-            .select("url")
-        )
+        # ---- global seen-set anti-join (F8).  Only rounds strictly
+        # before this one — a partially-committed attempt of THIS
+        # round must not dedup against itself on resume.
         if frontier_size < cfg.broadcast_dedup_max_frontier:
             # Bloom-prefiltered dedup: the seen-set (which grows every
             # round) is NEVER shuffled — it is scanned once (url column
-            # only) against a broadcast semi-join with this round's
-            # candidates, and the small hit-set broadcasts back into a
-            # map-side anti-join.  SURVEY §4.2: Bloom/anti-join split —
+            # only, is_new filter pushed into the parquet scan) against
+            # a broadcast semi-join with this round's candidates, and
+            # the small hit-set broadcasts back into a map-side
+            # anti-join.  SURVEY §4.2: Bloom/anti-join split —
             # exactness always comes from the anti-join.
+            seen_paths = [
+                catalog.data_dir("frontier", r)
+                for r in catalog.committed_rounds("frontier")
+                if r < round_
+            ]
+            seen = (
+                spark.read.parquet(*seen_paths)
+                .filter(F.col("is_new"))
+                .select("url")
+            )
             hits = seen.join(F.broadcast(firsts.select("url")), "url", "left_semi")
             new_items = firsts.join(F.broadcast(hits), "url", "left_anti")
         else:
-            # cluster-scale fallback: shuffle anti-join (bucketed seen
-            # via Iceberg bucket transform avoids the reshuffle there)
-            new_items = firsts.join(seen, "url", "left_anti")
+            # cluster-scale path: hash-bucketed seen TABLE.  The
+            # SortMergeJoin reads the (huge, ever-growing) seen side
+            # bucket-in-place with ZERO exchange; only this round's
+            # candidates shuffle (to the bucket count).  Appends are
+            # healed lazily up to round_-1, so crawls that crossed the
+            # broadcast threshold mid-run bulk-load their history once,
+            # and a crash between frontier commit and append is
+            # invisible (manifest-committed appends only + vacuum).
+            seen_tbl = _ensure_seen_table(spark, catalog, cfg, round_ - 1)
+            new_items = firsts.join(seen_tbl, "url", "left_anti")
 
         # size the range exchange to the data: early rounds are tiny and
         # a single-partition window beats the two-phase sampling jobs

@@ -65,6 +65,29 @@ class SnapshotCatalog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final)  # atomic on POSIX
+        self._publish_stream_link(table, round_)
+
+    # streaming-safe view: <root>/stream/<table>/rNNNNN symlinks are
+    # created ONLY AFTER the manifest commit, so a file stream tailing
+    # the stream dir can never observe a torn/uncommitted round (the
+    # raw <table>/r* dirs may briefly hold junk a crash left behind)
+    def _stream_table_dir(self, table: str) -> str:
+        return os.path.join(self.root, "stream", table)
+
+    def _publish_stream_link(self, table: str, round_: int) -> None:
+        d = self._stream_table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, f"r{round_:05d}")
+        if not os.path.lexists(link):
+            os.symlink(os.path.relpath(self.data_dir(table, round_), d), link)
+
+    def stream_dir(self, table: str) -> str:
+        """Directory whose ``r*`` children are EXACTLY the committed
+        rounds of ``table`` (heals links for rounds committed by an
+        older engine version) — the safe source for readStream."""
+        for r in self.committed_rounds(table):
+            self._publish_stream_link(table, r)
+        return self._stream_table_dir(table)
 
     # ----------------------------------------------------------- read
     def committed_rounds(self, table: str) -> list[int]:
@@ -183,6 +206,105 @@ class SnapshotCatalog:
                 t = f.read_row_group(g, columns=[column])
                 total += pc.sum(pc.cast(t[column], "int64")).as_py() or 0
         return total
+
+    # ------------------------------------- bucketed seen-set table
+    #
+    # Cluster-scale F8 backend: ONE hash-bucketed parquet table of seen
+    # urls, appended per round, so the seen-set side of the dedup
+    # anti-join NEVER shuffles (SortMergeJoin reads the buckets in
+    # place; only the small per-round candidate side exchanges).  This
+    # is the vanilla-Spark emulation of an Iceberg bucket-transform
+    # table; atomicity comes from the same manifest protocol as
+    # snapshots: each append records the exact files it added, and
+    # files not named by any committed manifest are vacuumed on open
+    # (exactly what Iceberg manifests do for torn commits).
+
+    def _seen_dir(self) -> str:
+        return os.path.join(self.root, "_seen_bucketed")
+
+    def seen_table_name(self) -> str:
+        import hashlib
+
+        h = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:12]
+        return f"doccrawler_seen_{h}"
+
+    def _seen_append_manifest(self, round_: int) -> str:
+        return os.path.join(
+            self.root, "_seen_manifests", f"r{round_:05d}.json"
+        )
+
+    def seen_appended_rounds(self) -> list[int]:
+        d = os.path.join(self.root, "_seen_manifests")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n[1:6]) for n in os.listdir(d)
+            if n.startswith("r") and n.endswith(".json")
+        )
+
+    def _seen_ensure_registered(self, spark, n_buckets: int) -> str:
+        d = self._seen_dir()
+        os.makedirs(d, exist_ok=True)
+        name = self.seen_table_name()
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} (url STRING) USING PARQUET "
+            f"CLUSTERED BY (url) INTO {n_buckets} BUCKETS LOCATION '{d}'"
+        )
+        return name
+
+    def seen_vacuum(self, spark, n_buckets: int) -> list[str]:
+        """Remove data files not named by any committed append manifest
+        (orphans of a crashed mid-append round); returns removed names."""
+        import json as _json
+
+        name = self._seen_ensure_registered(spark, n_buckets)
+        committed: set[str] = set()
+        for r in self.seen_appended_rounds():
+            with open(self._seen_append_manifest(r)) as f:
+                committed.update(_json.load(f)["files"])
+        removed = []
+        for fn in os.listdir(self._seen_dir()):
+            if fn.startswith("part-") and fn not in committed:
+                os.remove(os.path.join(self._seen_dir(), fn))
+                removed.append(fn)
+        if removed:
+            spark.sql(f"REFRESH TABLE {name}")
+        return removed
+
+    def seen_append(self, spark, urls_df, round_: int, n_buckets: int) -> None:
+        """Append one round's url delta to the bucketed seen table;
+        idempotent per round (a committed manifest short-circuits)."""
+        if os.path.exists(self._seen_append_manifest(round_)):
+            return
+        name = self._seen_ensure_registered(spark, n_buckets)
+        before = {
+            fn for fn in os.listdir(self._seen_dir()) if fn.startswith("part-")
+        }
+        (
+            urls_df.select("url").write.mode("append").format("parquet")
+            .bucketBy(n_buckets, "url").option("path", self._seen_dir())
+            .saveAsTable(name)
+        )
+        added = sorted(
+            fn for fn in os.listdir(self._seen_dir())
+            if fn.startswith("part-") and fn not in before
+        )
+        os.makedirs(os.path.dirname(self._seen_append_manifest(round_)),
+                    exist_ok=True)
+        final = self._seen_append_manifest(round_)
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"round": round_, "files": added}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+
+    def seen_table(self, spark, n_buckets: int):
+        """The bucketed seen table as a DataFrame (vacuumed: only
+        committed appends are visible)."""
+        name = self._seen_ensure_registered(spark, n_buckets)
+        self.seen_vacuum(spark, n_buckets)
+        return spark.table(name)
 
     # ------------------------------------------------- driver state
     def write_state(self, round_: int, state: dict) -> None:

@@ -17,13 +17,23 @@ from pyspark.sql import functions as F
 METRICS_SCHEMA = "partition_id int, pages_fetched bigint, bytes_fetched bigint, round int"
 
 
+def _stream_src_dir(snapshot_root: str, table: str) -> str:
+    """Commit-safe stream source: <root>/stream/<table> holds one
+    symlink per COMMITTED round (published after the manifest rename),
+    so a stream can never consume a torn round's junk part-files the
+    way a raw ``<table>/r*`` glob could after a crash."""
+    from .snapshots import SnapshotCatalog
+
+    return SnapshotCatalog(snapshot_root).stream_dir(table)
+
+
 def metrics_stream(spark: SparkSession, snapshot_root: str) -> DataFrame:
     """readStream over the crawl's metrics snapshots → running totals
     per round (append as new rounds commit)."""
     src = (
         spark.readStream.schema(METRICS_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
-        .parquet(f"{snapshot_root}/metrics/r*")
+        .parquet(f"{_stream_src_dir(snapshot_root, 'metrics')}/r*")
     )
     return src.groupBy("round").agg(
         F.sum("pages_fetched").alias("pages_fetched"),
@@ -61,7 +71,7 @@ def frontier_stream(spark: SparkSession, snapshot_root: str) -> DataFrame:
     src = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
-        .parquet(f"{snapshot_root}/frontier/r*")
+        .parquet(f"{_stream_src_dir(snapshot_root, 'frontier')}/r*")
     )
     event_ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("round") * 60)
     return src.withColumn("event_ts", event_ts)

@@ -106,42 +106,64 @@ def main() -> None:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     sections.append((
-        "knn_join (bucket equi-join + per-query top-k window, no cartesian)",
-        plan_of(knn_join(emb, q, k=5, n_bits=4)),
+        "knn_join (multi-band equi-join + salted pre-top-k windows, no cartesian)",
+        plan_of(knn_join(emb, q, k=5, n_bits=4, n_tables=4)),
         ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     ))
 
-    # 7. minhash signatures: ONE md5 (conv) per shingle, map-side
-    # partial min aggregation before the shuffle
+    # 7. minhash signatures: ONE md5 per TOKEN, shingle keys by integer
+    # combine, per-doc array_min projection — NO explode, NO shuffle
     from doccrawler_spark.ops.dedup import minhash_signatures
 
+    # (the only Exchange allowed is _fan_out's deliberate
+    # REPARTITION_BY_NUM input spread — no ENSURE_REQUIREMENTS shuffle
+    # means no groupBy/join exchange anywhere in the operator)
     sections.append((
-        "MinHash signatures (single-digest affine family, partial agg)",
+        "MinHash signatures (token-digest integer keys, shuffle-free array_min)",
         plan_of(minhash_signatures(docs)),
-        ["conv(substring(md5(", "partial_min", "Exchange"],
+        ["conv(substring(md5(", "array_min", "!ENSURE_REQUIREMENTS",
+         "!Generate"],
     ))
 
-    # 8. cluster-scale seen-set path: bucketed tables make the anti-join
-    # SHUFFLE-FREE (both sides pre-bucketed on url — the Iceberg
-    # bucket-transform layout crawl.py's dedup comments reference)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    seen_b = spark.range(50000).select(
-        F.concat(F.lit("https://h/"), F.col("id").cast("string")).alias("url")
+    # 8. cluster-scale seen-set path, generated from the crawl's OWN
+    # bucketed seen table (not a hand-made one): run the tiny web with
+    # broadcast_dedup_max_frontier=0 so every round takes the bucketed
+    # branch, then assert the anti-join reads the seen side
+    # bucket-in-place — Exchange ONLY on the candidate side (the plan
+    # slice from the seen FileScan onward must contain none).
+    import tempfile
+
+    from doccrawler_spark.crawl import CrawlConfig, crawl
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
     )
-    seen_b.write.mode("overwrite").bucketBy(8, "url").sortBy("url").format(
-        "parquet").saveAsTable("plans_seen_bucketed")
-    cand_b = spark.range(3000).select(
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    snap_root = tempfile.mkdtemp(prefix="plans_crawl_")
+    catalog = crawl(spark, web, seeds, snap_root,
+                    CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                                seen_buckets=8))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    cand = spark.range(3000).select(
         F.concat(F.lit("https://h/"), (F.col("id") * 7).cast("string")).alias("url")
     )
-    cand_b.write.mode("overwrite").bucketBy(8, "url").sortBy("url").format(
-        "parquet").saveAsTable("plans_cand_bucketed")
-    anti = spark.table("plans_cand_bucketed").join(
-        spark.table("plans_seen_bucketed"), "url", "left_anti"
-    )
+    anti = cand.join(catalog.seen_table(spark, 8), "url", "left_anti")
+    full_plan = plan_of(anti)
+    seen_slice = full_plan[full_plan.index("FileScan"):]
     sections.append((
-        "Bucketed seen-set anti-join (cluster-scale F8: zero shuffle)",
-        plan_of(anti),
-        ["Bucketed: true", "LeftAnti", "!Exchange"],
+        "Crawl's bucketed seen-set anti-join (cluster-scale F8: "
+        "seen side scanned bucket-in-place, zero Exchange from its FileScan on)",
+        seen_slice,
+        ["Bucketed: true", "!Exchange"],
+    ))
+    sections.append((
+        "  ... full plan of the same join (candidate side exchanges to "
+        "the bucket count; LeftAnti SMJ)",
+        full_plan,
+        ["LeftAnti", "Bucketed: true"],
     ))
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 

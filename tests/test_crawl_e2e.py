@@ -223,6 +223,50 @@ def test_error_sink_records_fetch_misses(spark, tmp_path):
     _assert_equivalent(spark, oracle, catalog, golden)
 
 
+def test_bucketed_seen_table_e2e(spark, tmp_path):
+    """Cluster-scale F8 wired end-to-end: force the bucketed-seen-TABLE
+    branch every round (broadcast cutoff 0) and assert (a) full crawl
+    equivalence with the sequential oracle, (b) per-round appends were
+    healed and manifest-committed, (c) a torn (un-manifested) append
+    file is vacuumed, (d) the anti-join plan reads the seen table
+    bucket-in-place — Bucketed: true, zero Exchange above its scan."""
+    spec = tiny_spec()
+    web, pages, golden, seeds = _load(spark, spec)
+    oracle = SequentialOracle(pages, OracleConfig(max_depth=4)).run(seeds)
+    cfg = CrawlConfig(max_depth=4, broadcast_dedup_max_frontier=0,
+                      seen_buckets=8)
+    root = os.path.join(str(tmp_path), "snap")
+    catalog = crawl(spark, web, seeds, root, cfg)
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+    # appends healed through the second-to-last frontier round
+    frontier_rounds = catalog.committed_rounds("frontier")
+    assert set(catalog.seen_appended_rounds()) >= set(frontier_rounds[:-1])
+    tbl_urls = {r["url"] for r in catalog.seen_table(spark, 8).collect()}
+    assert tbl_urls <= oracle.seen and tbl_urls
+
+    # torn append: junk data file without a manifest entry → vacuumed
+    junk_name = "part-99999-torn_00000.c000.snappy.parquet"
+    with open(os.path.join(catalog._seen_dir(), junk_name), "wb") as f:
+        f.write(b"not parquet")
+    assert junk_name in catalog.seen_vacuum(spark, 8)
+
+    # plan property (same assertion show_plans makes, here against the
+    # crawl's OWN table): seen side scans Bucketed: true, and the only
+    # Exchange in the join is on the candidate side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.createDataFrame([("x",)], "url string")
+        j = probe.join(catalog.seen_table(spark, 8), "url", "left_anti")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        seen_scan_part = plan[plan.index("FileScan"):]
+        assert "Exchange" not in seen_scan_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+
 def test_count_true_stats_and_spark_fallback(spark, tmp_path):
     """count_true must agree with a full count across all three paths:
     pure row-group statistics (homogeneous groups), driver-side reads

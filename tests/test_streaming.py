@@ -39,6 +39,41 @@ def test_metrics_stream_matches_batch(spark, tmp_path):
         assert streamed[r_] == (batch[0], batch[1]), f"round {r_}"
 
 
+def test_stream_skips_uncommitted_torn_round(spark, tmp_path):
+    """A crash can leave a junk partial round dir with NO manifest; the
+    streaming source (commit-published symlinks) must not consume it,
+    while a raw frontier/r* glob would crash or read garbage."""
+    import os
+
+    from doccrawler_spark.crawl import seen_all
+    from doccrawler_spark.streaming import frontier_stream, streaming_seen_dedup
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(web_pages_pandas(spec), schema=WEB_SCHEMA)
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    root = str(tmp_path) + "/snap"
+    catalog = crawl(spark, web, seeds, root, CrawlConfig(max_depth=3))
+
+    # torn round: junk part-file in an UNCOMMITTED round dir
+    torn = catalog.data_dir("frontier", 99)
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000-junk.snappy.parquet"), "wb") as f:
+        f.write(b"\x00garbage that is not parquet")
+
+    q = (streaming_seen_dedup(frontier_stream(spark, root))
+         .writeStream.outputMode("append")
+         .format("memory").queryName("seen_torn").start())
+    try:
+        q.processAllAvailable()
+        streamed = {r["url"] for r in
+                    spark.sql("SELECT url FROM seen_torn").collect()}
+    finally:
+        q.stop()
+    batch_seen = {r["url"] for r in
+                  seen_all(spark, catalog).select("url").collect()}
+    assert streamed == batch_seen
+
+
 def test_streaming_seen_dedup_and_site_progress(spark, tmp_path):
     """Streaming F8 analogue + stateful per-site progress: both match
     the batch ground truth computed from the same snapshots."""
