@@ -46,31 +46,73 @@ def best_of(runs: list[dict]) -> dict:
     return min(runs, key=lambda r: r["crawl"]["rounds_sec"])
 
 
+def _extra_legs_md(extra: list[tuple]) -> str:
+    if not extra:
+        return ""
+    lines = [
+        "### Extra scaling legs",
+        "",
+        "Same protocol at other core pairs.  The 4→16 leg stays at/below",
+        "the ~8-process aggregate-memcpy saturation knee measured in",
+        "`BENCH/HARDWARE.md`, so it isolates how the ENGINE scales when",
+        "the shared memory bus is not yet the binding constraint:",
+        "",
+        "| pair | steady pages/s (low) | steady pages/s (high) | efficiency |",
+        "|---|---|---|---|",
+    ]
+    for low, high, lo, hi, eff, lo_runs, hi_runs in extra:
+        lines.append(
+            f"| local[{low}] → local[{high}] | "
+            f"{lo['crawl']['pages_per_sec_steady']} | "
+            f"{hi['crawl']['pages_per_sec_steady']} | {eff:.3f} |"
+        )
+    for low, high, _, _, _, lo_runs, hi_runs in extra:
+        lines.append("")
+        lines.append(
+            f"All runs (rounds sec) — local[{low}]: "
+            + ", ".join(f"{r['crawl']['rounds_sec']}s" for r in lo_runs)
+            + f"; local[{high}]: "
+            + ", ".join(f"{r['crawl']['rounds_sec']}s" for r in hi_runs) + "."
+        )
+    return "\n".join(lines)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--pairs", type=str, default="8:32,4:16",
+                    help="comma-separated low:high core pairs; the first "
+                         "is the headline north-rule pair, later ones are "
+                         "extra evidence legs (e.g. 4:16 stays below the "
+                         "~8-process memcpy saturation knee)")
     ap.add_argument("--pages", type=int, default=240000)
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
-
-    lo_runs, hi_runs = [], []
-    for i in range(args.repeats):
-        lo_runs.append(run_at(args.low, args.pages))
-        print(f"[scaling] local[{args.low}] run {i}: "
-              f"rounds {lo_runs[-1]['crawl']['rounds_sec']}s", flush=True)
-        hi_runs.append(run_at(args.high, args.pages))
-        print(f"[scaling] local[{args.high}] run {i}: "
-              f"rounds {hi_runs[-1]['crawl']['rounds_sec']}s", flush=True)
-
-    lo, hi = best_of(lo_runs), best_of(hi_runs)
-    tl = lo["crawl"]["pages_per_sec_steady"]
-    th = hi["crawl"]["pages_per_sec_steady"]
-    factor = args.high / args.low
-    eff = (th / tl) / factor
+    pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
 
     def _runs_md(runs: list[dict]) -> str:
         return ", ".join(f"{r['crawl']['rounds_sec']}s" for r in runs)
+
+    results = []  # (low, high, lo, hi, eff, lo_runs, hi_runs)
+    for low, high in pairs:
+        lo_runs, hi_runs = [], []
+        for i in range(args.repeats):
+            lo_runs.append(run_at(low, args.pages))
+            print(f"[scaling] local[{low}] run {i}: "
+                  f"rounds {lo_runs[-1]['crawl']['rounds_sec']}s", flush=True)
+            hi_runs.append(run_at(high, args.pages))
+            print(f"[scaling] local[{high}] run {i}: "
+                  f"rounds {hi_runs[-1]['crawl']['rounds_sec']}s", flush=True)
+        lo, hi = best_of(lo_runs), best_of(hi_runs)
+        eff = (hi["crawl"]["pages_per_sec_steady"]
+               / lo["crawl"]["pages_per_sec_steady"]) / (high / low)
+        results.append((low, high, lo, hi, eff, lo_runs, hi_runs))
+
+    low, high = pairs[0]
+    _, _, lo, hi, eff, lo_runs, hi_runs = results[0]
+    tl = lo["crawl"]["pages_per_sec_steady"]
+    th = hi["crawl"]["pages_per_sec_steady"]
+    args.low, args.high = low, high  # keep the report template simple
+    factor = high / low
 
     # fold in the per-stage table (scripts/stage_scaling.py) if present
     stages_json = {}
@@ -114,6 +156,8 @@ single-box memory bus, quantified stage-by-stage in `BENCH/STAGES.md`).
 All runs (rounds sec) — local[{args.low}]: {_runs_md(lo_runs)};
 local[{args.high}]: {_runs_md(hi_runs)}.
 
+{_extra_legs_md(results[1:])}
+
 Corpus: {args.pages} synthetic web pages (~23 KB HTML each,
 deterministic generator, seed=42, one hot host with 40% of URLs), full
 frontier loop — fetch join, fused extract+discover Arrow UDF, rule
@@ -154,6 +198,11 @@ counts; politeness/budget windows are salted two-phase top-k).
              "low_all": [r["crawl"] for r in lo_runs],
              "high_all": [r["crawl"] for r in hi_runs],
              "efficiency_steady": round(eff, 4),
+             "extra_pairs": [
+                 {"low": l, "high": h, "efficiency_steady": round(e, 4),
+                  "low_best": plo["crawl"], "high_best": phi["crawl"]}
+                 for l, h, plo, phi, e, _, _ in results[1:]
+             ],
              "stage_efficiency": stage_effs}, indent=2)}
 ```
 """
