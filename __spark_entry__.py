@@ -265,6 +265,43 @@ def _q_crawl_errors(spark, sf_dir):
     )
 
 
+def _q_streaming_seen(spark, sf_dir):
+    """Structured-Streaming surface at the driver: crawl the tiny web,
+    then tail its committed frontier snapshots as a FILE STREAM and run
+    the watermarked exactly-once URL dedup
+    (streaming.streaming_seen_dedup — dropDuplicatesWithinWatermark);
+    the materialized stream output must equal the sequential oracle's
+    seen-set insertions (VALUES golden: url, site_id, round added)."""
+    from doccrawler_spark.crawl import CrawlConfig, crawl
+    from doccrawler_spark.streaming import frontier_stream, streaming_seen_dedup
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    root = tempfile.mkdtemp(prefix="doccrawler_stream_")
+    crawl(spark, web, seeds, root, CrawlConfig(max_depth=3))
+
+    import re as _re
+
+    name = "stream_seen_" + _re.sub(r"[^0-9a-zA-Z]", "", os.path.basename(root))
+    q = (
+        streaming_seen_dedup(frontier_stream(spark, root))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT url, site_id, round FROM {name}"
+    ).orderBy("url")
+
+
 def _q_multimodal_features(spark, sf_dir):
     from doccrawler_spark.ops.multimodal import documents_as_media, extract_features
 
@@ -382,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "chunk_documents": _q_chunk_documents,
         "crawl_errors": _q_crawl_errors,
+        "streaming_seen": _q_streaming_seen,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "groupby_agg": _q_groupby_agg,
@@ -451,6 +489,22 @@ def _tiny_crawl_golden_sql() -> str:
         FROM (VALUES {rows})
           AS t(url, site_id, depth, round, priority, text_len)
         ORDER BY priority
+    """
+
+
+def _tiny_seen_golden_sql() -> str:
+    """VALUES-literal oracle for the streaming seen-dedup: the
+    sequential oracle's seen-set insertions (url, site_id, round)."""
+    res = _run_tiny_oracle()
+    q = _sqlq
+    rows = ", ".join(
+        f"({q(r['url'])}, {q(r['site_id'])}, {r['round']})"
+        for r in sorted(res.seen_rows, key=lambda r: r["url"])
+    )
+    return f"""
+        SELECT url, site_id, CAST(round AS INTEGER) AS round
+        FROM (VALUES {rows}) AS t(url, site_id, round)
+        ORDER BY url
     """
 
 
@@ -658,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_tiny_e2e": _tiny_crawl_golden_sql(),
         "crawl_errors": _tiny_errors_golden_sql(),
+        "streaming_seen": _tiny_seen_golden_sql(),
         "hybrid_topk": _hybrid_topk_sql(),
         "ivf_topk": """
             WITH cents AS (

@@ -39,12 +39,30 @@ def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
     arrive as ONE partition; without this every downstream HOF/explode/
     self-join runs in one task regardless of cores.
 
-    Gated on the input's actual partition count: a table that already
-    has ≥ cores partitions (any real cluster-scale scan) passes through
+    Gated PLAN-SIDE (optimizer statistics + input file count — no
+    ``df.rdd`` partition probe, which forces an RDD plan conversion and
+    an extra analysis pass): an input big enough to split into ≥ cores
+    read partitions anyway, or scanning ≥ cores files, passes through
     untouched — no gratuitous full shuffle of 100 TB."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable → assume small, spread it
+        size = 0
+    # parquet splits inputs at spark.sql.files.maxPartitionBytes
+    # (default 128 MB); a >= n*that input already fans out on read.
+    # Absurd sizes are Catalyst's Long.Max "unknown" sentinel — treat
+    # as small (a wasted repartition of a small table beats one task).
+    if n * (128 << 20) <= size < (1 << 50):
         return df
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
@@ -61,7 +79,8 @@ def _pos_consts(n: int) -> list[int]:
 
 def _opt_barrier(col):
     """Catalyst optimization barrier: a nondeterministic no-op
-    (``rand() >= -1`` is always true, value unchanged).
+    (``monotonically_increasing_id() >= -1`` is always true, value
+    unchanged).
 
     Why: PushDownPredicates substitutes project aliases into predicates
     with NO cost check, and InferFiltersFromGenerate synthesizes
@@ -89,7 +108,7 @@ def _shingle_key_arrays(
     r2 measured the md5-per-shingle path allocation-bound (stage scaling
     0.25 at 8→32 cores: 3 string allocations per shingle row).  Now each
     TOKEN hashes once to a 31-bit base b (one short-string digest), and
-    shingle i's key is pure codegen'd integer arithmetic over the base
+    shingle i's key is pure integer arithmetic over the base
     array:  skey_i = XOR_j (b[i+j] · C_j)  with per-position odd
     constants C_j < 2^31 — products < 2^62, ANSI-overflow-safe, ~62-bit
     keys, zero per-shingle allocations.  Keys are 8 bytes on the wire

@@ -192,19 +192,25 @@ cell (bursty-host minimum-of-N protocol).  Regenerate:
 Reading: efficiency = (t_{args.low}/t_{args.high}) / {factor:.0f}.
 `scan` moves bytes and computes nothing — it is the memory-bus
 signature of this box (BENCH/HARDWARE.md: aggregate memcpy saturates
-at ~8 processes); `minhash` (a real dedup operator over these ~3.4k
--token pages: ~100M-row shingle explode + 16-way min agg) is in the
-same class — dominated by row/allocation traffic, and its measured
-ceiling here motivated switching its hash family from 16 md5 calls to
-1 md5 + affine integer maps.  `jvm_hash` (pure codegen, zero input
-bytes) and `vectorize` (the X7/X8 embed+BM25 job, heavy Python compute
-per byte) are the CPU-bound legs — they hold ≥0.8; `extract` sits
-between (Arrow transfer of every html byte around the regex kernel).
-On a real 4N-executor cluster every
+at ~8 processes).  `minhash` is the real dedup workhorse (MinHash
+signatures over these ~2-3k-token pages); its r3 shape is ONE digest
+per token + integer shingle keys + a shuffle-free per-doc array_min
+projection — no explode, no min-aggregate shuffle (r2's
+explode+16-column-agg form measured 0.25 here; the rework plus
+single-pass tokenization cut its absolute time ~5x).  `minhash_xx` is
+the same operator on the xxhash64 zero-string-allocation key path
+(the bench/scale knob; md5 stays the oracle-replayable default).
+`jvm_hash` (pure codegen, zero input bytes) and `vectorize` (the
+X7/X8 embed+BM25 job, heavy Python compute per byte) are the
+CPU-bound legs; `extract` sits between (Arrow transfer of every html
+byte around the regex kernel).  On a real 4N-executor cluster every
 executor brings its own memory bus, so the cpu-stage efficiencies are
 the honest predictor of N->4N executor scaling, and the scan-stage
 ceiling is a single-box emulation artifact — quantified here rather
-than hand-waved.
+than hand-waved.  (Caveat measured this round: this VM's per-thread
+throughput itself degrades as thread count rises — identical regex
+work consumed ~3.6x more core-seconds at 32 threads than at 8 — so
+single-box efficiencies here are a FLOOR on real-cluster scaling.)
 
 ```json
 {json.dumps({"low": lo, "high": hi, "efficiency": effs,

@@ -49,6 +49,9 @@ class OracleResult:
     # rich form of misses (url/host/site_id/depth/round/priority) — the
     # golden rows for the engine's S8 errors sink
     miss_rows: list[dict] = field(default_factory=list)
+    # (url, site_id, round-added) per seen-set insertion — the golden
+    # rows for the engine's frontier is_new deltas / streaming dedup
+    seen_rows: list[dict] = field(default_factory=list)
     rounds: int = 0
 
 
@@ -116,6 +119,9 @@ class SequentialOracle:
                 if self._disallowed(seed):
                     continue
                 res.seen.add(seed)
+                res.seen_rows.append(
+                    {"url": seed, "site_id": site_id, "round": 0}
+                )
                 frontier.append((seed, 1, site_id, seed, False, next_prio))
                 next_prio += 1
 
@@ -184,6 +190,9 @@ class SequentialOracle:
                     if link in res.seen:
                         continue
                     res.seen.add(link)
+                    res.seen_rows.append(
+                        {"url": link, "site_id": site_id, "round": round_}
+                    )
                     frontier.append(
                         (link, depth + 1, site_id, home, False, next_prio)
                     )
