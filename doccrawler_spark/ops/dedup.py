@@ -168,6 +168,17 @@ def _shingle_keys(
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a multiply-consumed intermediate ONCE (eager
+    localCheckpoint).  The posting-list / banded-signature relations
+    feed 3-4 plan branches (sizes, df-prune, both self-join sides) and
+    each branch would otherwise re-derive the full tokenize+hash
+    lineage from the scan.  The materialized relation is the SMALL one
+    (8-byte keys / integer signatures, ~2-5% of corpus bytes), stored
+    on executor-local disk+memory — the standard trade at 100 TB."""
+    return df.localCheckpoint(eager=True)
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.6,
     max_df: int | None = 100_000, key_fn: str = "md5",
@@ -185,7 +196,7 @@ def ngram_jaccard_pairs(
     stop-shingles are missed and surviving pairs score a lower-bound
     Jaccard (stop-shingles leave the intersection count but not the
     union) — the standard candidate-prefilter tradeoff."""
-    sh = _shingle_keys(documents, n, key_fn)
+    sh = _materialize(_shingle_keys(documents, n, key_fn))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # posting-list prune (result-preserving): a shingle held by a single
     # doc cannot produce a pair — drop it before the self-join.  In a
@@ -276,7 +287,9 @@ def minhash_lsh_pairs(
     (k/bands rows per band), with the estimated Jaccard = fraction of
     matching minhashes.  shingle→minhash→band→bucket-join."""
     rows = k // bands
-    sigs = minhash_signatures(documents, n, k, key_fn)
+    # signatures feed the singleton-prune AND both self-join sides —
+    # materialize once instead of re-deriving tokenize+hash per branch
+    sigs = _materialize(minhash_signatures(documents, n, k, key_fn))
     banded = sigs.select(
         "doc_id", "sig",
         F.explode(
@@ -333,7 +346,7 @@ def minhash_verified_pairs(
     cand = minhash_lsh_pairs(documents, n, k, bands, key_fn).select(
         "doc_a", "doc_b"
     )
-    sh = _shingle_keys(documents, n, key_fn)
+    sh = _materialize(_shingle_keys(documents, n, key_fn))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "skey")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "skey")
@@ -416,10 +429,10 @@ def embedding_neardup_pairs(
     all-pairs.  Exact cosine is then computed per candidate; standard
     LSH recall semantics (a true pair that differs in every band is
     missed — more bands trade compute for recall)."""
-    banded = embeddings.select(
+    banded = _materialize(embeddings.select(
         "vec_id", "embedding",
         F.explode(_band_keys(F.col("embedding"), n_bands, band_bits)).alias("bk"),
-    ).select("vec_id", "embedding", "bk.band", "bk.key")
+    ).select("vec_id", "embedding", "bk.band", "bk.key"))
     # singleton-bucket prune: a (band,key) held by one vector yields no pair
     shared = (
         banded.groupBy("band", "key").count()

@@ -99,9 +99,61 @@ def _argmax_cell(emb_col, centroids: list[list[float]]):
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def kmeans_centroids(
+    embeddings: DataFrame, n_cells: int = 8, sample: int = 1024,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Production IVF quantizer: Lloyd iterations over a DETERMINISTIC
+    hash sample (the ``sample`` vectors with lowest md5(vec_id) — a
+    uniform draw no matter how vec_ids were assigned), initialized from
+    the first ``n_cells`` of that sample.  Runs driver-side on the
+    bounded sample (the classic train-on-sample pattern; the full-corpus
+    pass is only the final cell ASSIGNMENT, which `ivf_topk` folds into
+    one codegen'd expression / a write-time partition column).
+    Deterministic: same data → same centroids, so results remain
+    reproducible end-to-end.  Returns L2-normalized centroids for
+    :func:`ivf_topk`'s ``centroids`` parameter."""
+    import math
+
+    rows = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample).collect()
+    )
+    pts = [[float(x) for x in r["embedding"]] for r in rows]
+    if len(pts) < n_cells:
+        raise ValueError(f"sample of {len(pts)} < n_cells={n_cells}")
+
+    def _norm_v(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cents = [_norm_v(p) for p in pts[:n_cells]]
+    for _ in range(iters):
+        sums = [[0.0] * len(pts[0]) for _ in range(n_cells)]
+        counts = [0] * n_cells
+        for p in pts:
+            # max-dot-product assignment (ties → smallest cell id),
+            # matching _argmax_cell's rule exactly
+            best, best_s = 0, None
+            for j, c in enumerate(cents):
+                s = sum(x * y for x, y in zip(p, c))
+                if best_s is None or s > best_s:
+                    best, best_s = j, s
+            counts[best] += 1
+            for d, x in enumerate(p):
+                sums[best][d] += x
+        cents = [
+            _norm_v([x / counts[j] for x in sums[j]]) if counts[j]
+            else cents[j]
+            for j in range(n_cells)
+        ]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
     n_cells: int = 8, n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: a coarse quantizer (HASH-SAMPLED centroids — the
     ``n_cells`` vectors with the lowest md5(vec_id), L2-normalized)
@@ -117,18 +169,25 @@ def ivf_topk(
     plan shape.  Scale path: cell assignment is write-time work (the
     cell id is a partition/cluster column), so a query scans
     n_probe/n_cells of the data; centroids are a driver-side sample
-    (bounded collect), the classic IVF train-on-sample pattern."""
+    (bounded collect), the classic IVF train-on-sample pattern.
+
+    ``centroids``: pass :func:`kmeans_centroids` output for the
+    production trained quantizer; the default (hash-sampled raw
+    vectors, no Lloyd refinement) stays SQL-oracle-replayable."""
     import math
 
-    rows = (
-        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(n_cells).collect()
-    )
-    cents = []
-    for r in rows:
-        v = [float(x) for x in r["embedding"]]
-        n = math.sqrt(sum(x * x for x in v)) or 1.0
-        cents.append([x / n for x in v])
+    if centroids is not None:
+        cents = [list(map(float, c)) for c in centroids]
+    else:
+        rows = (
+            embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(n_cells).collect()
+        )
+        cents = []
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            cents.append([x / n for x in v])
 
     qscores = [sum(q * c for q, c in zip(query_vec, cc)) for cc in cents]
     probes = sorted(range(len(cents)), key=lambda j: (-qscores[j], j))[:n_probe]

@@ -197,6 +197,46 @@ def test_ivf_topk_probes_nearest_cells(spark):
         [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
 
 
+def test_kmeans_ivf_recall_on_clustered_data(spark):
+    """The trained quantizer must place one centroid per natural
+    cluster so n_probe=1 IVF returns exactly the query's cluster —
+    where raw hash-sampled centroids may split/miss clusters."""
+    import random
+
+    from doccrawler_spark.ops.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(3)
+    # two tight clusters around +x and +y, 30 vectors each
+    vecs = []
+    for i in range(30):
+        vecs.append((i, [1.0 + rng.uniform(-0.05, 0.05),
+                         rng.uniform(-0.05, 0.05), 0.0, 0.0], 0))
+    for i in range(30, 60):
+        vecs.append((i, [rng.uniform(-0.05, 0.05),
+                         1.0 + rng.uniform(-0.05, 0.05), 0.0, 0.0], 1))
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    cents = kmeans_centroids(emb, n_cells=2, sample=60, iters=5)
+    # one centroid per cluster: their dominant axes differ
+    axes = sorted(max(range(4), key=lambda d: c[d]) for c in cents)
+    assert axes == [0, 1]
+    q = [1.0, 0.0, 0.0, 0.0]
+    got = ivf_topk(emb, q, k=30, n_cells=2, n_probe=1, centroids=cents)
+    assert {r["vec_id"] for r in got.collect()} == set(range(30))
+    # determinism: same inputs → same centroids
+    assert cents == kmeans_centroids(emb, n_cells=2, sample=60, iters=5)
+    # probing every cell with trained centroids == brute force
+    all_ = ivf_topk(emb, q, k=10, n_cells=2, n_probe=2, centroids=cents)
+    brute = cosine_topk(emb, q, k=10)
+    assert [r["vec_id"] for r in all_.collect()] == \
+        [r["vec_id"] for r in brute.collect()]
+
+
 def test_knn_join_matches_bruteforce_within_candidates(spark):
     """The salted two-phase pre-top-k must be LOSSLESS: knn_join output
     equals the global per-query top-k over all candidates sharing >=1
