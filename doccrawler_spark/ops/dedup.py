@@ -373,28 +373,52 @@ def simhash64(documents: DataFrame) -> DataFrame:
 
     Per-bit majority vote: bit b of md5(token) contributes ±1; the
     sign of the sum sets bit b.  Kept at 32 bits so the whole thing
-    stays in exact integer arithmetic everywhere."""
+    stays in exact integer arithmetic everywhere.
+
+    Plan shape (r4): NO explode, NO shuffle — the same per-doc
+    array-arithmetic trick as the minhash rework.  One md5 digest per
+    distinct token materialized as a per-doc hash array, then bit b's
+    vote is ``aggregate(hk, 0, acc ± 1)`` and the simhash is the sum
+    of 32 such sign terms — a single narrow codegen'd projection.  The
+    r3 formulation exploded 32 bit-rows per token through a
+    (doc_id, bit) groupBy (~32× the token count through one shuffle).
+    Bit-identical to that form and to the DuckDB oracle (same votes,
+    same signs); docs with zero tokens vanish from the output in both
+    shapes (explode produced no rows; here an explicit size filter)."""
     bits = 32
-    toks = F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
-    t = documents.select("doc_id", toks).filter(F.col("tok") != "")
-    # token hash = first 8 hex chars of md5 → 32-bit int
-    t = t.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
-    b = t.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    based = _fan_out(documents, "doc_id").select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("toks")
     )
-    return (
-        b.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
-            .otherwise(F.lit(0).cast("long")),
+    # hash array materialized as its OWN column (lambda-scope CSE rule:
+    # an unaliased transform referenced inside the vote aggregates
+    # would re-run the md5 pass once per bit)
+    hashed = based.select(
+        "doc_id",
+        F.transform(
+            "toks",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("hk"),
+    ).select("doc_id", _opt_barrier(F.col("hk")).alias("hk"))
+
+    def _vote(b):
+        return F.aggregate(
+            "hk",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
         )
-        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return hashed.filter(F.size("hk") > 0).select(
+        "doc_id", sim.alias("simhash")
     )
 
 

@@ -200,7 +200,7 @@ def ivf_topk(
 
 def knn_join(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4,
-    n_tables: int = 4, salt: int = 16,
+    n_tables: int = 4, salt: int = 16, salted: bool | None = None,
 ) -> DataFrame:
     """Bulk ANN: for every query vector, its top-k neighbors from the
     corpus.  queries: (q_id, q_emb ARRAY<FLOAT>).
@@ -220,8 +220,30 @@ def knn_join(
     ≤ n_tables·k deduped candidates.  The pre-top-k is lossless: a
     global-top-k candidate outranked by < k vectors globally is
     outranked by < k inside any band bucket containing it.
+
+    ``salted`` gates the pre-top-k PLAN-SIDE (r4, same stats gate
+    family as dedup._fan_out): the two extra windows exist to bound
+    per-task sort memory when a band bucket holds millions of rows,
+    but at small input they cost two full window passes for nothing
+    (r3 measured 2× at sf0.1).  Default (None) reads the corpus's
+    optimizer-estimated size: below one shuffle-partition's worth of
+    data (64 MB) every window partition is trivially task-sized, so
+    the join output feeds the final per-query window directly —
+    identical results (the pre-top-k is lossless by construction).
+    Unknown stats (Catalyst's Long.Max sentinel) keep the salted
+    scale shape — the conservative default for 100 TB inputs.
     """
     from pyspark.sql import Window
+
+    if salted is None:
+        try:
+            size = int(
+                embeddings._jdf.queryExecution()
+                .optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = 1 << 60
+        salted = size >= (64 << 20)
 
     def banded(df: DataFrame, vec_col: str) -> DataFrame:
         return df.select(
@@ -242,16 +264,20 @@ def knn_join(
     )
     joined = q.join(c, ["band", "key"]).withColumn("cosine", F.round(cos, 6))
     order = [F.desc("cosine"), F.asc("vec_id")]
-    w_sub = Window.partitionBy("q_id", "band", "_salt").orderBy(*order)
-    w_band = Window.partitionBy("q_id", "band").orderBy(*order)
     w_q = Window.partitionBy("q_id").orderBy(*order)
+    if salted:
+        w_sub = Window.partitionBy("q_id", "band", "_salt").orderBy(*order)
+        w_band = Window.partitionBy("q_id", "band").orderBy(*order)
+        joined = (
+            joined
+            .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(salt)))
+            .withColumn("_srn", F.row_number().over(w_sub))
+            .filter(F.col("_srn") <= k)
+            .withColumn("_brn", F.row_number().over(w_band))
+            .filter(F.col("_brn") <= k)
+        )
     return (
         joined
-        .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(salt)))
-        .withColumn("_srn", F.row_number().over(w_sub))
-        .filter(F.col("_srn") <= k)
-        .withColumn("_brn", F.row_number().over(w_band))
-        .filter(F.col("_brn") <= k)
         .select("q_id", "vec_id", "cosine")
         .dropDuplicates(["q_id", "vec_id"])
         .withColumn("rank", F.row_number().over(w_q))

@@ -104,20 +104,25 @@ def fit_bm25_distributed(
     materialization — a web-scale corpus has 10^8+ distinct tokens).
     Terms past the cap score as idf 0 at query time; their idf is
     near-constant-maximal anyway, so the cap only drops ultra-rare-term
-    discrimination, never common-term ranking."""
-    toks = chunks.select(
-        F.col("chunked_data").alias("t"),
-        F.array_distinct(Fx.tokens_col("chunked_data")).alias("toks"),
-    )
-    stats_row = chunks.select(
-        F.count("*").alias("n"),
-        F.avg(F.size(Fx.tokens_col("chunked_data"))).alias("avgdl"),
+    discrimination, never common-term ranking.
+
+    Single-pass fit (r4): the corpus is tokenized ONCE into a
+    materialized ``(dl, distinct toks)`` projection (the regex
+    tokenizer is the measured hot kernel — the r3 shape ran it twice,
+    once for avgdl and once for the df explode); both the avgdl
+    aggregate and the df groupBy read the small materialized relation
+    (integer + token arrays, a fraction of corpus bytes) instead of
+    re-deriving the scan+tokenize lineage."""
+    toked = chunks.select(Fx.tokens_col("chunked_data").alias("tk"))
+    sel = toked.select(
+        F.size("tk").alias("dl"),
+        F.array_distinct("tk").alias("toks"),
+    ).localCheckpoint(eager=True)
+    stats_row = sel.select(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
-    df_agg = (
-        toks.select(F.explode("toks").alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok").count()
-    )
+    # tokens_col never emits empty tokens, so no post-explode filter
+    df_agg = sel.select(F.explode("toks").alias("tok")).groupBy("tok").count()
     # orderBy+limit compiles to TakeOrderedAndProject: per-partition
     # top-N then a driver merge of N-row heaps — bounded memory
     df_rows = (

@@ -270,8 +270,16 @@ def test_knn_join_matches_bruteforce_within_candidates(spark):
     got = {
         (r["q_id"], r["vec_id"]): (r["rank"], r["cosine"])
         for r in knn_join(emb, qdf, k=k, n_bits=n_bits, n_tables=n_tables,
-                          salt=4).collect()
+                          salt=4, salted=True).collect()
     }
+    # the r4 plan-side gate must be invisible in results: the unsalted
+    # small-input path returns the identical ranking
+    got_unsalted = {
+        (r["q_id"], r["vec_id"]): (r["rank"], r["cosine"])
+        for r in knn_join(emb, qdf, k=k, n_bits=n_bits, n_tables=n_tables,
+                          salt=4, salted=False).collect()
+    }
+    assert got == got_unsalted
     # float32 storage rounds the vectors before Spark sees them, so
     # compare ranks on the float32-rounded expectation
     expected32 = {}
