@@ -65,28 +65,59 @@ class SnapshotCatalog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final)  # atomic on POSIX
-        self._publish_stream_link(table, round_)
+        self._publish_stream_entry(table, round_)
 
-    # streaming-safe view: <root>/stream/<table>/rNNNNN symlinks are
-    # created ONLY AFTER the manifest commit, so a file stream tailing
-    # the stream dir can never observe a torn/uncommitted round (the
-    # raw <table>/r* dirs may briefly hold junk a crash left behind)
+    # streaming-safe view: <root>/stream/<table>/rNNNNN/ holds a copy
+    # of each COMMITTED round's data files, published ONLY AFTER the
+    # manifest commit, so a file stream tailing the stream dir can
+    # never observe a torn/uncommitted round (the raw <table>/r* dirs
+    # may briefly hold junk a crash left behind).  Object-store-safe
+    # by construction (r4, replacing a symlink mechanism that cannot
+    # exist on S3/GCS): the publish primitive is "make the committed,
+    # immutable bytes visible under the stream prefix" — a server-side
+    # CopyObject on an object store, optimized to a zero-byte hard
+    # link on POSIX.  Every published file is final and immutable, so
+    # a crash mid-publish at worst leaves a round partially listed;
+    # the next publish/stream_dir call completes it idempotently
+    # (per-file existence check), and a file stream just picks the
+    # stragglers up in a later micro-batch — append-exactly-once
+    # either way, unlike the overwrite-retried raw round dirs.
     def _stream_table_dir(self, table: str) -> str:
         return os.path.join(self.root, "stream", table)
 
-    def _publish_stream_link(self, table: str, round_: int) -> None:
-        d = self._stream_table_dir(table)
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, f"r{round_:05d}")
-        if not os.path.lexists(link):
-            os.symlink(os.path.relpath(self.data_dir(table, round_), d), link)
+    def _publish_stream_entry(self, table: str, round_: int) -> None:
+        import shutil
+
+        src = self.data_dir(table, round_)
+        dst = os.path.join(self._stream_table_dir(table), f"r{round_:05d}")
+        # heal a pre-r4 symlink publication in place (the data files it
+        # pointed at are the same committed bytes)
+        if os.path.islink(dst):
+            os.unlink(dst)
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            if not name.endswith(".parquet"):
+                continue
+            t = os.path.join(dst, name)
+            if os.path.exists(t):
+                continue
+            try:
+                os.link(os.path.join(src, name), t)  # POSIX: zero-copy
+            except OSError:
+                # cross-device / FS without hard links: real copy, made
+                # visible atomically under its final name (the PUT-like
+                # path an object store takes natively)
+                tmp = t + f".tmp.{os.getpid()}"
+                shutil.copyfile(os.path.join(src, name), tmp)
+                os.replace(tmp, t)
 
     def stream_dir(self, table: str) -> str:
         """Directory whose ``r*`` children are EXACTLY the committed
-        rounds of ``table`` (heals links for rounds committed by an
-        older engine version) — the safe source for readStream."""
+        rounds of ``table`` (heals rounds committed by an older engine
+        version or a publish interrupted mid-copy) — the safe source
+        for readStream."""
         for r in self.committed_rounds(table):
-            self._publish_stream_link(table, r)
+            self._publish_stream_entry(table, r)
         return self._stream_table_dir(table)
 
     # ----------------------------------------------------------- read

@@ -19,9 +19,10 @@ METRICS_SCHEMA = "partition_id int, pages_fetched bigint, bytes_fetched bigint, 
 
 def _stream_src_dir(snapshot_root: str, table: str) -> str:
     """Commit-safe stream source: <root>/stream/<table> holds one
-    symlink per COMMITTED round (published after the manifest rename),
-    so a stream can never consume a torn round's junk part-files the
-    way a raw ``<table>/r*`` glob could after a crash."""
+    directory of published data files per COMMITTED round (link-or-copy
+    after the manifest rename — object-store-safe, no symlinks), so a
+    stream can never consume a torn round's junk part-files the way a
+    raw ``<table>/r*`` glob could after a crash."""
     from .snapshots import SnapshotCatalog
 
     return SnapshotCatalog(snapshot_root).stream_dir(table)

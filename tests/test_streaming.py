@@ -41,8 +41,10 @@ def test_metrics_stream_matches_batch(spark, tmp_path):
 
 def test_stream_skips_uncommitted_torn_round(spark, tmp_path):
     """A crash can leave a junk partial round dir with NO manifest; the
-    streaming source (commit-published symlinks) must not consume it,
-    while a raw frontier/r* glob would crash or read garbage."""
+    streaming source (commit-published stream dirs) must not consume
+    it, while a raw frontier/r* glob would crash or read garbage.
+    Also pins the r4 object-store contract: nothing under stream/ is a
+    symlink (S3/GCS have no such primitive)."""
     import os
 
     from doccrawler_spark.crawl import seen_all
@@ -67,6 +69,57 @@ def test_stream_skips_uncommitted_torn_round(spark, tmp_path):
         q.processAllAvailable()
         streamed = {r["url"] for r in
                     spark.sql("SELECT url FROM seen_torn").collect()}
+    finally:
+        q.stop()
+    batch_seen = {r["url"] for r in
+                  seen_all(spark, catalog).select("url").collect()}
+    assert streamed == batch_seen
+    stream_root = os.path.join(root, "stream")
+    links = [
+        os.path.join(dp, n)
+        for dp, dns, fns in os.walk(stream_root)
+        for n in dns + fns
+        if os.path.islink(os.path.join(dp, n))
+    ]
+    assert not links, f"object-store-unsafe symlinks in publish path: {links}"
+
+
+def test_stream_publish_heals_interrupted_copy(spark, tmp_path):
+    """A publish that crashed mid-copy leaves a round dir missing some
+    files; stream_dir() must complete it idempotently and the stream
+    must still see every committed row exactly once."""
+    import os
+
+    from doccrawler_spark.crawl import seen_all
+    from doccrawler_spark.streaming import frontier_stream, streaming_seen_dedup
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(web_pages_pandas(spec), schema=WEB_SCHEMA)
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    root = str(tmp_path) + "/snap"
+    catalog = crawl(spark, web, seeds, root, CrawlConfig(max_depth=3))
+
+    rounds = catalog.committed_rounds("frontier")
+    assert rounds
+    # simulate the torn publish: delete one published file + one whole
+    # published round dir (as if the process died before copying them)
+    r0 = rounds[0]
+    pub = os.path.join(root, "stream", "frontier", f"r{r0:05d}")
+    victims = [n for n in os.listdir(pub) if n.endswith(".parquet")]
+    os.remove(os.path.join(pub, victims[0]))
+    if len(rounds) > 1:
+        import shutil
+
+        shutil.rmtree(os.path.join(root, "stream", "frontier",
+                                   f"r{rounds[-1]:05d}"))
+
+    q = (streaming_seen_dedup(frontier_stream(spark, root))
+         .writeStream.outputMode("append")
+         .format("memory").queryName("seen_healed").start())
+    try:
+        q.processAllAvailable()
+        streamed = {r["url"] for r in
+                    spark.sql("SELECT url FROM seen_healed").collect()}
     finally:
         q.stop()
     batch_seen = {r["url"] for r in
