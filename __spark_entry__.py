@@ -127,6 +127,70 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, [float(x) for x in qv], k=10, n_cells=8, n_probe=2)
 
 
+# bump when the index layout/quantizer logic changes — invalidates the
+# per-(input, params) on-disk index cache below
+_ANN_IDX_VERSION = "r4a"
+
+
+def _ann_index_dir(sf_dir: str, kind: str, tag: str) -> str:
+    """Deterministic per-(input, params, code-version) ANN index cache
+    location — the write-once half of write-once-query-many, so the
+    indexed driver rows measure the pruned SCAN, not a rebuild per
+    query.  Staleness is guarded by the source parquet's (mtime, size)
+    and ``_ANN_IDX_VERSION`` inside the key."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "missing"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{kind}|{tag}|{_ANN_IDX_VERSION}|{stamp}"
+        .encode()
+    ).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "doccrawler_ann_idx", f"{kind}_{key}"
+    )
+
+
+def _q_ivf_topk_indexed(spark, sf_dir):
+    """Same query + quantizer as ivf_topk, answered from the write-time
+    IVF layout: cell is a partition column, the scan prunes to the 2
+    probed cells (asserted in BENCH/PLANS.md)."""
+    from doccrawler_spark.ops.similarity import (
+        hash_sample_centroids,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = _doc(spark, sf_dir, "embeddings")
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    d = _ann_index_dir(sf_dir, "ivf", "c8")
+    if not os.path.exists(os.path.join(d, "_index_meta.json")):
+        write_ivf_index(emb, d, centroids=hash_sample_centroids(emb, 8))
+    return ivf_topk_indexed(spark, d, [float(x) for x in qv], k=10, n_probe=2)
+
+
+def _q_lsh_topk_indexed(spark, sf_dir):
+    """Same query as lsh_topk, answered from the write-time multi-table
+    LSH layout: (band, key) are partition columns, the scan prunes to
+    ≤4 bucket directories (asserted in BENCH/PLANS.md)."""
+    from doccrawler_spark.ops.similarity import (
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+
+    emb = _doc(spark, sf_dir, "embeddings")
+    qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    d = _ann_index_dir(sf_dir, "lsh", "b8t4")
+    if not os.path.exists(os.path.join(d, "_index_meta.json")):
+        write_lsh_index(emb, d, n_bits=8, n_tables=4)
+    return lsh_topk_indexed(spark, d, list(qv), k=10)
+
+
 def _q_knn_join(spark, sf_dir):
     """Bulk ANN: top-5 neighbors for each of the first 5 vectors —
     multi-table banded sign-LSH (4 bands × 4 bits) + salted pre-top-k,
@@ -411,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "lsh_topk_indexed": _q_lsh_topk_indexed,
+        "ivf_topk_indexed": _q_ivf_topk_indexed,
         "knn_join": _q_knn_join,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -709,7 +775,7 @@ _MINHASH_CTES = f"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "crawl_tiny_e2e": _tiny_crawl_golden_sql(),
         "crawl_errors": _tiny_errors_golden_sql(),
         "streaming_seen": _tiny_seen_golden_sql(),
@@ -1053,3 +1119,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_ix ORDER BY user_id, session_ix
         """,
     }
+    # the write-time-indexed ANN paths return results IDENTICAL to the
+    # per-query-scan operators at the same quantizer/params — one
+    # oracle, two physical plans (full scan vs partition-pruned scan)
+    out["ivf_topk_indexed"] = out["ivf_topk"]
+    out["lsh_topk_indexed"] = out["lsh_topk"]
+    return out

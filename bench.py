@@ -117,7 +117,8 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
 
 QUERY_SUBSET = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "minhash_verified", "simhash",
-    "embedding_neardup", "cosine_topk", "lsh_topk", "ivf_topk", "knn_join",
+    "embedding_neardup", "cosine_topk", "lsh_topk", "ivf_topk",
+    "lsh_topk_indexed", "ivf_topk_indexed", "knn_join",
     "token_stats",
     "quality_scores", "lang_id", "fingerprint", "hybrid_topk", "chunk_documents",
     "multimodal_features", "multimodal_frames",
@@ -148,6 +149,15 @@ def main() -> None:
         import __spark_entry__ as E
 
         qs = E.queries()
+        # warm-up: the first query after the crawl pays 2-5 s of JIT /
+        # codegen-cache / parquet-footer warm-up that belongs to the
+        # session, not the operator (r3 showed whichever query ran
+        # first absorbing it) — pay it once here, untimed
+        try:
+            qs["groupby_agg"](spark, sf_dir).count()
+            qs["token_stats"](spark, sf_dir).count()
+        except Exception:  # pragma: no cover
+            pass
         for name in QUERY_SUBSET:
             t0 = time.time()
             try:

@@ -150,6 +150,27 @@ def kmeans_centroids(
     return cents
 
 
+def hash_sample_centroids(
+    embeddings: DataFrame, n_cells: int = 8
+) -> list[list[float]]:
+    """The oracle-replayable quantizer default: the ``n_cells`` vectors
+    with the lowest md5(vec_id), L2-normalized — a deterministic
+    uniform draw (md5 scrambles any id assignment order) with no Lloyd
+    refinement, so ANSI SQL can replay it exactly."""
+    import math
+
+    rows = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_cells).collect()
+    )
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10,
     n_cells: int = 8, n_probe: int = 2,
@@ -172,22 +193,13 @@ def ivf_topk(
     (bounded collect), the classic IVF train-on-sample pattern.
 
     ``centroids``: pass :func:`kmeans_centroids` output for the
-    production trained quantizer; the default (hash-sampled raw
-    vectors, no Lloyd refinement) stays SQL-oracle-replayable."""
-    import math
-
+    production trained quantizer; the default
+    (:func:`hash_sample_centroids` — raw hash-sampled vectors, no
+    Lloyd refinement) stays SQL-oracle-replayable."""
     if centroids is not None:
         cents = [list(map(float, c)) for c in centroids]
     else:
-        rows = (
-            embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(n_cells).collect()
-        )
-        cents = []
-        for r in rows:
-            v = [float(x) for x in r["embedding"]]
-            n = math.sqrt(sum(x * x for x in v)) or 1.0
-            cents.append([x / n for x in v])
+        cents = hash_sample_centroids(embeddings, n_cells)
 
     qscores = [sum(q * c for q, c in zip(query_vec, cc)) for cc in cents]
     probes = sorted(range(len(cents)), key=lambda j: (-qscores[j], j))[:n_probe]
@@ -196,6 +208,148 @@ def ivf_topk(
     return cosine_topk(
         celled.filter(F.col("cell").isin(probes)), query_vec, k
     )
+
+
+# --------------------------------------------------------------------
+# Write-time ANN index layouts (r4).
+#
+# lsh_topk / ivf_topk above compute bucket/cell membership per row per
+# query — correct, but at 100 TB one query = one full corpus scan.
+# The scale-safe half of the ANN story is STORAGE LAYOUT: assign the
+# bucket/cell at WRITE time and make it a partition column, so a query
+# is a partition-pruned scan of n_probe cells (IVF) or n_tables band
+# buckets (LSH) — the same move the crawl's seen-set made with its
+# bucketed table, and what an index-side vector store does (reference
+# analogue: Pinecone index search, pinecone_service.py:131-178).
+# BENCH/PLANS.md asserts PartitionFilters reach the FileScan and the
+# scan reads strictly fewer files than the table holds.
+
+
+def _index_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_index_meta.json")
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    final = _index_meta_path(path)
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+
+
+def _read_index_meta(path: str) -> dict:
+    import json
+
+    with open(_index_meta_path(path)) as f:
+        return json.load(f)
+
+
+def write_ivf_index(
+    embeddings: DataFrame, path: str, n_cells: int = 8,
+    centroids: list[list[float]] | None = None, sample: int = 1024,
+) -> None:
+    """Lay the vectors table out as an IVF index: one Hive partition
+    directory per quantizer cell (``cell=<id>/part-*.parquet``), with
+    the trained centroids stored alongside in a committed meta file.
+    Cell assignment runs ONCE, at write time, as the same codegen'd
+    max-dot expression queries would otherwise evaluate per scan.
+
+    ``centroids=None`` trains :func:`kmeans_centroids` on the hash
+    sample (the production quantizer); pass explicit centroids (e.g.
+    the raw hash-sample used by the oracle-replayable ``ivf_topk``
+    default) to pin a layout to a known quantizer."""
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_cells=n_cells,
+                                     sample=sample)
+    cents = [list(map(float, c)) for c in centroids]
+    celled = embeddings.withColumn(
+        "cell", _argmax_cell(F.col("embedding"), cents)
+    )
+    celled.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index_meta(path, {"kind": "ivf", "centroids": cents})
+
+
+def ivf_topk_indexed(
+    spark, path: str, query_vec: list[float], k: int = 10, n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k over a :func:`write_ivf_index` layout: score the query
+    against the stored centroids driver-side, then scan ONLY the
+    ``n_probe`` closest cells — ``cell`` is a partition column, so the
+    filter prunes at the file index (no data files outside the probed
+    cells are opened, let alone read).  Identical results to
+    :func:`ivf_topk` with the same centroids."""
+    meta = _read_index_meta(path)
+    cents = meta["centroids"]
+    qscores = [sum(q * c for q, c in zip(query_vec, cc)) for cc in cents]
+    probes = sorted(range(len(cents)),
+                    key=lambda j: (-qscores[j], j))[:n_probe]
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return cosine_topk(df.drop("cell"), query_vec, k)
+
+
+def write_lsh_index(
+    embeddings: DataFrame, path: str, n_bits: int = 8, n_tables: int = 4,
+) -> None:
+    """Lay the vectors table out as a multi-table sign-LSH index: each
+    vector is written once PER TABLE under Hive partitions
+    ``band=<t>/key=<sign pattern>/`` (the classic n_tables× storage
+    trade of multi-table LSH — OR-amplified recall for bounded extra
+    space).  Bucket keys are computed once, at write time."""
+    banded = embeddings.select(
+        *embeddings.columns,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("band"),
+                # "k" prefix pins the partition value as a STRING —
+                # Hive partition type inference would otherwise parse
+                # an all-digit sign pattern as an integer and drop the
+                # leading zeros that distinguish buckets
+                F.concat(
+                    F.lit("k"),
+                    sign_bucket(F.col("embedding"), n_bits, t * n_bits),
+                ).alias("key"),
+            )
+            for t in range(n_tables)
+        ])).alias("bk"),
+    ).select(*embeddings.columns, "bk.band", "bk.key")
+    banded.write.mode("overwrite").partitionBy("band", "key").parquet(path)
+    _write_index_meta(path, {"kind": "lsh", "n_bits": n_bits,
+                             "n_tables": n_tables})
+
+
+def lsh_topk_indexed(
+    spark, path: str, query_vec: list[float], k: int = 10,
+) -> DataFrame:
+    """Multi-table LSH top-k over a :func:`write_lsh_index` layout: the
+    query's per-table keys become an OR-of-(band,key) partition
+    predicate, so the scan prunes to ≤ n_tables bucket directories out
+    of n_tables·2^n_bits; candidates dedup on vec_id (a vector can
+    collide in several tables) before exact cosine + TakeOrdered.
+    Identical results to :func:`lsh_topk` at the same parameters."""
+    meta = _read_index_meta(path)
+    n_bits, n_tables = meta["n_bits"], meta["n_tables"]
+    n_eff = max(1, min(n_tables, len(query_vec) // n_bits))
+
+    def qkey(t: int) -> str:
+        return "k" + "".join(
+            "1" if x >= 0 else "0"
+            for x in query_vec[t * n_bits:(t + 1) * n_bits]
+        )
+
+    pred = None
+    for t in range(n_eff):
+        p = (F.col("band") == t) & (F.col("key") == qkey(t))
+        pred = p if pred is None else (pred | p)
+    df = spark.read.parquet(path).filter(pred)
+    cand = df.drop("band", "key").dropDuplicates(["vec_id"])
+    return cosine_topk(cand, query_vec, k)
 
 
 def knn_join(

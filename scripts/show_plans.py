@@ -111,6 +111,40 @@ def main() -> None:
         ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     ))
 
+    # 6b. write-time ANN layouts: the indexed IVF/LSH scans must PRUNE —
+    # PartitionFilters reach the FileScan (empty [] would mean a full
+    # corpus scan per query, the r3 weakness this layout closes)
+    from doccrawler_spark.ops.similarity import (
+        hash_sample_centroids,
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    idx_root = tempfile.mkdtemp(prefix="plans_ann_")
+    write_ivf_index(emb, f"{idx_root}/ivf",
+                    centroids=hash_sample_centroids(emb, 8))
+    ivf_df = ivf_topk_indexed(spark, f"{idx_root}/ivf", list(qv), k=10,
+                              n_probe=2)
+    ivf_plan = plan_of(ivf_df)
+    sections.append((
+        "IVF top-k over the write-time cell layout (scan prunes to "
+        "n_probe=2 of 8 cell partitions)",
+        ivf_plan,
+        ["PartitionFilters: [", "!PartitionFilters: []",
+         "TakeOrderedAndProject"],
+    ))
+    write_lsh_index(emb, f"{idx_root}/lsh", n_bits=8, n_tables=4)
+    lsh_df = lsh_topk_indexed(spark, f"{idx_root}/lsh", list(qv), k=10)
+    sections.append((
+        "LSH top-k over the write-time (band,key) layout (scan prunes "
+        "to <=4 bucket partitions via OR-of-(band,key))",
+        plan_of(lsh_df),
+        ["PartitionFilters: [", "!PartitionFilters: []",
+         "TakeOrderedAndProject"],
+    ))
+
     # 7. minhash signatures: ONE md5 per TOKEN, shingle keys by integer
     # combine, per-doc array_min projection — NO explode, NO shuffle
     from doccrawler_spark.ops.dedup import minhash_signatures

@@ -365,3 +365,66 @@ def test_multimodal_plumbing(spark, docs):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
+
+
+def test_ann_index_layouts_prune_and_match(spark, tmp_path):
+    """Write-time ANN layouts (r4): the partitioned IVF/LSH indexes
+    must (a) return results identical to the per-query-scan operators
+    at the same parameters, and (b) actually PRUNE — PartitionFilters
+    reach the FileScan and only the probed partition dirs are read."""
+    import os
+    import random
+
+    from doccrawler_spark.ops.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        kmeans_centroids,
+        lsh_topk,
+        lsh_topk_indexed,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)], f"l{i % 3}")
+            for i in range(200)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    qv = [rng.uniform(-1, 1) for _ in range(dim)]
+
+    def rows_of(df):
+        return [(r["vec_id"], r["label"], r["cosine"])
+                for r in df.orderBy(F.desc("cosine"), "vec_id").collect()]
+
+    def plan_of(df):
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # ---- IVF: same centroids → identical top-k; scan prunes to n_probe
+    cents = kmeans_centroids(emb, n_cells=4, sample=64)
+    ivf_dir = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, ivf_dir, centroids=cents)
+    base = rows_of(ivf_topk(emb, qv, k=10, n_probe=2, centroids=cents))
+    idx = ivf_topk_indexed(spark, ivf_dir, qv, k=10, n_probe=2)
+    assert rows_of(idx) == base
+    p = plan_of(idx)
+    assert "PartitionFilters: [" in p and "PartitionFilters: []" not in p
+    # all 4 cells materialized on disk, only 2 probed
+    cells = [n for n in os.listdir(ivf_dir) if n.startswith("cell=")]
+    assert len(cells) >= 3
+
+    # ---- LSH: same params → identical top-k; OR-of-(band,key) prunes
+    lsh_dir = str(tmp_path / "lsh_idx")
+    write_lsh_index(emb, lsh_dir, n_bits=4, n_tables=3)
+    base = rows_of(lsh_topk(emb, qv, k=10, n_bits=4, n_tables=3))
+    idx = lsh_topk_indexed(spark, lsh_dir, qv, k=10)
+    assert rows_of(idx) == base
+    p = plan_of(idx)
+    assert "PartitionFilters: [" in p and "PartitionFilters: []" not in p
