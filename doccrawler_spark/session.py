@@ -59,3 +59,29 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def iceberg_conf(
+    catalog: str = "crawl", warehouse: str = "/tmp/iceberg_warehouse"
+) -> dict:
+    """Config-only swap to a real Iceberg catalog (SURVEY §7's cluster
+    backend for SnapshotCatalog): pass the returned dict as
+    ``get_spark(extra_conf=...)`` — or as ``spark-submit --conf``
+    pairs — on a cluster whose classpath carries the
+    iceberg-spark-runtime jar.  With it, snapshot writes map to
+    ``df.writeTo(f"{catalog}.db.{table}").append()`` inside an Iceberg
+    snapshot commit and time-travel reads to ``VERSION AS OF``; the
+    sandbox (no network, no jar — verified) keeps the
+    manifest+parquet backend, which implements the same contract
+    (numbered snapshots, atomic publish, time-travel, vacuum).
+    Structurally exercised by ``tests/test_crawl_e2e.py``'s
+    skip-gated Iceberg test; the jar is the only missing piece."""
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}":
+            "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }

@@ -107,10 +107,15 @@ def stage_minhash_xx():
     minhash_signatures(docs_like, n=3, k=16, key_fn="xxhash64").select(
         F.sum(F.size("sig"))).collect()
 
+def stage_simhash():
+    from doccrawler_spark.ops.dedup import simhash64
+    simhash64(docs_like).select(F.sum("simhash")).collect()
+
 out = {}
 for name, fn in [("scan", stage_scan), ("extract", stage_extract),
                  ("vectorize", stage_vectorize), ("jvm_hash", stage_jvm_hash),
-                 ("minhash", stage_minhash), ("minhash_xx", stage_minhash_xx)]:
+                 ("minhash", stage_minhash), ("minhash_xx", stage_minhash_xx),
+                 ("simhash", stage_simhash)]:
     best = None
     for _ in range(repeats):
         t0 = time.time()
@@ -175,7 +180,7 @@ def main() -> None:
     rows = "\n".join(
         f"| {k} | {lo[k]} | {hi[k]} | {effs[k]} |"
         for k in ["scan", "extract", "vectorize", "jvm_hash", "minhash",
-                  "minhash_xx"]
+                  "minhash_xx", "simhash"]
     )
     md = f"""# BENCH/STAGES — per-stage strong scaling ({datetime.date.today()})
 
@@ -200,6 +205,9 @@ explode+16-column-agg form measured 0.25 here; the rework plus
 single-pass tokenization cut its absolute time ~5x).  `minhash_xx` is
 the same operator on the xxhash64 zero-string-allocation key path
 (the bench/scale knob; md5 stays the oracle-replayable default).
+`simhash` (r4) is the shuffle-free SimHash: one md5 per distinct
+token + 32 per-doc array-aggregate bit votes, no explode and no
+groupBy shuffle.
 `jvm_hash` (pure codegen, zero input bytes) and `vectorize` (the
 X7/X8 embed+BM25 job, heavy Python compute per byte) are the
 CPU-bound legs; `extract` sits between (Arrow transfer of every html
