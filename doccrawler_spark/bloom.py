@@ -1,0 +1,167 @@
+"""Partitioned Bloom-filter URL-seen prefilter (the north-rule's
+"bloom/cuckoo URL-seen set"; SURVEY §4.2's Bloom/anti-join split).
+
+A Bloom filter admits false positives, so it can never BE the seen
+set — exactness always comes from the anti-join (What's-hard #2).  What
+it can do is shrink the anti-join's input: a candidate whose k bits are
+not all set has DEFINITELY never been enqueued and skips the exact
+check entirely; only maybe-seen candidates (true dups + the fp rate)
+touch the seen table.  Early crawl rounds — where most discovered
+links are new — skip almost everything; late rounds degrade to the
+plain anti-join, never below it.
+
+Layout (designed for 10^10 URLs, tested tiny):
+
+* the filter is PARTITIONED by url-hash bucket — one row per bucket,
+  ``(bucket INT, words ARRAY<BIGINT>)`` with a fixed ``m_bits`` bit
+  array per bucket (dense: index arithmetic needs no lookups).  At 10
+  bits/url a 10^10-URL filter is ~12 GB — far too big to broadcast
+  whole, but per-bucket rows join co-partitioned on the SAME bucket
+  exchange the bucketed anti-join already pays; below the broadcast
+  threshold (any sandbox run) the whole table broadcasts and the test
+  is map-side.
+* built INCREMENTALLY: each round ORs the delta-bloom of its newly
+  seen urls into the previous snapshot (``zip_with(bitwiseOR)`` per
+  bucket) — build cost ∝ round delta, never ∝ |seen| — and commits the
+  merged filter as a numbered snapshot like every other table, so
+  resume heals it from frontier history exactly like the seen table.
+* membership math is plain SQL (xxhash64 double hashing,
+  ``pos_i = (h1 + i·h2) mod m``), evaluated inside whole-stage codegen
+  on both the build and probe sides; all intermediates < 2^31·k, ANSI
+  overflow-safe.
+
+Bloom over cuckoo: the seen set only ever grows (no deletes), inserts
+are bulk/batched, and the or-merge of two Bloom arrays is associative
+— which is what makes the incremental snapshot protocol one zip_with.
+A cuckoo filter's displacement loops would need row-level state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# second-hash differentiator: xxhash64(url, _SEED2) is an independent
+# digest of the same url (the tuple hashes, not the column alone)
+_SEED2 = 0x9E3779B9
+
+BLOOM_TABLE = "seen_bloom"
+
+
+def bucket_expr(url_col: str, n_buckets: int) -> str:
+    return f"CAST(pmod(xxhash64({url_col}), {n_buckets}) AS INT)"
+
+
+def _pos_sql(url_col: str, i: int, m_bits: int) -> str:
+    """SQL for the i-th Bloom bit position of a url: classic double
+    hashing, every intermediate already reduced mod m (sums stay under
+    k·m < 2^35 — ANSI-safe)."""
+    h1 = f"pmod(xxhash64({url_col}), {m_bits})"
+    h2 = f"pmod(xxhash64({url_col}, {_SEED2}L), {m_bits})"
+    return f"pmod({h1} + {i} * {h2}, {m_bits})"
+
+
+def bloom_delta(
+    urls: DataFrame, n_buckets: int, m_bits: int, k: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """(bucket, words[m_bits/64]) — the dense per-bucket Bloom arrays
+    of one url delta.  Explode k positions per url → or-fold masks per
+    word → densify per bucket; one shuffle of 8-byte (bucket, word)
+    pairs, ~k·|delta| rows."""
+    m_words = m_bits // 64
+    pos = F.explode(F.array(*[
+        F.expr(_pos_sql(url_col, i, m_bits)) for i in range(k)
+    ])).alias("pos")
+    sparse = (
+        urls.select(F.expr(bucket_expr(url_col, n_buckets)).alias("bucket"), pos)
+        .select(
+            "bucket",
+            F.expr("CAST(pos DIV 64 AS INT)").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("bucket", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    dense = sparse.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("wm")
+    )
+    return dense.select(
+        "bucket",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_words - 1)),
+            # try_element_at: ANSI element_at THROWS on a missing map
+            # key, and most word slots are missing in a sparse delta
+            lambda i: F.coalesce(
+                F.try_element_at("wm", i), F.lit(0).cast("bigint")
+            ),
+        ).alias("words"),
+    )
+
+
+def bloom_merge(frames: list[DataFrame], m_bits: int) -> DataFrame:
+    """OR-merge bloom tables (associative, order-free): union → fold
+    each bucket's arrays with zip_with(bitwiseOR)."""
+    m_words = m_bits // 64
+    if len(frames) == 1:
+        return frames[0]
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(m_words - 1)),
+        lambda _: F.lit(0).cast("bigint"),
+    )
+    return allf.groupBy("bucket").agg(
+        F.aggregate(
+            F.collect_list("words"),
+            zero,
+            lambda acc, w: F.zip_with(acc, w, lambda a, b: a.bitwiseOR(b)),
+        ).alias("words")
+    )
+
+
+def maybe_seen_sql(
+    url_col: str, words_col: str, m_bits: int, k: int
+) -> str:
+    """SQL boolean: ALL k bits set (possibly seen → must take the exact
+    anti-join); any bit clear OR no bloom row for the bucket (NULL
+    words) → definitely never enqueued.  element_at is 1-based; every
+    index < m_bits/64 by construction, so dense arrays never
+    range-error under ANSI."""
+    tests = []
+    for i in range(k):
+        p = _pos_sql(url_col, i, m_bits)
+        tests.append(
+            f"((element_at({words_col}, CAST(({p}) DIV 64 AS INT) + 1)"
+            f" >> CAST(({p}) % 64 AS INT)) & 1) = 1"
+        )
+    return "coalesce(" + " AND ".join(tests) + ", false)"
+
+
+def prefilter_new(
+    candidates: DataFrame, bloom: DataFrame, seen: DataFrame,
+    n_buckets: int, m_bits: int, k: int, url_col: str = "url",
+) -> DataFrame:
+    """The F8 split: definitely-new candidates pass straight through;
+    maybe-seen candidates (true dups + fp rate) anti-join the exact
+    seen table.  Result set is EXACTLY ``candidates ANTI seen`` — the
+    Bloom only routes rows, it never decides membership."""
+    cb = candidates.withColumn(
+        "_bloom_bucket", F.expr(bucket_expr(url_col, n_buckets))
+    )
+    jb = cb.join(
+        bloom.withColumnRenamed("bucket", "_bloom_bucket"),
+        "_bloom_bucket", "left",
+    ).withColumn(
+        "_maybe", F.expr(maybe_seen_sql(url_col, "words", m_bits, k))
+    )
+    definitely_new = jb.filter(~F.col("_maybe")).drop(
+        "_bloom_bucket", "words", "_maybe"
+    )
+    maybe = jb.filter(F.col("_maybe")).drop("_bloom_bucket", "words", "_maybe")
+    return definitely_new.unionByName(
+        maybe.join(seen, url_col, "left_anti")
+    )

@@ -78,6 +78,16 @@ class CrawlConfig:
     # bucket count of the seen table (cluster sizing: ≈ total seen
     # bytes / 256 MB; sandbox default keeps files small)
     seen_buckets: int = 64
+    # partitioned Bloom prefilter over the bucketed seen path (the
+    # north-rule's bloom/cuckoo seen set; bloom.py): definitely-new
+    # candidates skip the exact anti-join entirely; exactness is
+    # untouched (maybe-seen rows still anti-join).  m_bits is PER
+    # url-hash bucket (cluster sizing: ~10-13 bits per expected url in
+    # the bucket; 2^16 bits = 8 KB/bucket sandbox default), k the
+    # number of probe bits
+    bloom_prefilter: bool = True
+    bloom_m_bits: int = 1 << 16
+    bloom_k: int = 6
     # frontier-size cutoff below which fetch uses an IN-list point
     # lookup (parquet row-group stats pruning — the CDX-index pattern:
     # a 12-URL round must not decode the whole corpus) instead of
@@ -336,6 +346,47 @@ def _ensure_seen_table(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
     return catalog.seen_table(spark, cfg.seen_buckets)
 
 
+def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
+                  upto_round: int):
+    """Heal the partitioned seen-Bloom snapshot through ``upto_round``
+    and return it (None before any frontier commit).  Incremental: the
+    latest committed bloom snapshot is OR-merged with the delta blooms
+    of only the frontier rounds it predates — cost ∝ missed deltas,
+    never ∝ |seen| — then committed at ``upto_round`` (the same
+    atomic-manifest protocol as every table, so a torn build is
+    invisible and simply rebuilt)."""
+    from . import bloom as B
+
+    rounds = [r for r in catalog.committed_rounds("frontier")
+              if r <= upto_round]
+    if not rounds:
+        return None
+    have = [r for r in catalog.committed_rounds(B.BLOOM_TABLE)
+            if r <= upto_round]
+    latest = have[-1] if have else None
+    missing = [r for r in rounds if latest is None or r > latest]
+    if not missing:
+        return catalog.read(spark, B.BLOOM_TABLE, latest)
+    frames = []
+    if latest is not None:
+        frames.append(catalog.read(spark, B.BLOOM_TABLE, latest))
+    for r in missing:
+        delta = (
+            catalog.read(spark, "frontier", r)
+            .filter(F.col("is_new")).select("url")
+        )
+        frames.append(
+            B.bloom_delta(delta, cfg.seen_buckets, cfg.bloom_m_bits,
+                          cfg.bloom_k)
+        )
+    merged = B.bloom_merge(frames, cfg.bloom_m_bits)
+    catalog.write(merged, B.BLOOM_TABLE, upto_round)
+    # read BACK from the committed snapshot: downstream consumers get a
+    # plain pruned parquet scan (with accurate size stats for the
+    # broadcast decision), not the whole merge lineage re-executed
+    return catalog.read(spark, B.BLOOM_TABLE, upto_round)
+
+
 def run_round(
     spark: SparkSession,
     catalog: SnapshotCatalog,
@@ -566,7 +617,26 @@ def run_round(
             # and a crash between frontier commit and append is
             # invisible (manifest-committed appends only + vacuum).
             seen_tbl = _ensure_seen_table(spark, catalog, cfg, round_ - 1)
-            new_items = firsts.join(seen_tbl, "url", "left_anti")
+            bloom_df = (
+                _ensure_bloom(spark, catalog, cfg, round_ - 1)
+                if cfg.bloom_prefilter else None
+            )
+            if bloom_df is not None:
+                # Bloom split (bloom.py): definitely-new candidates
+                # never touch the seen table; only maybe-seen rows
+                # (true dups + fp rate) pay the exact anti-join.  The
+                # bloom side is a committed parquet snapshot, so the
+                # stats-based broadcast decision is accurate (sandbox
+                # sizes broadcast; a 10^10-url filter co-partitions on
+                # the bucket key instead).
+                from . import bloom as B
+
+                new_items = B.prefilter_new(
+                    firsts, bloom_df, seen_tbl, cfg.seen_buckets,
+                    cfg.bloom_m_bits, cfg.bloom_k,
+                )
+            else:
+                new_items = firsts.join(seen_tbl, "url", "left_anti")
 
         # size the range exchange to the data: early rounds are tiny and
         # a single-partition window beats the two-phase sampling jobs

@@ -201,6 +201,30 @@ def main() -> None:
     ))
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    # 9. partitioned Bloom seen-prefilter (north_rule bloom/cuckoo):
+    # the crawl above committed per-round bloom snapshots; the split
+    # plan must broadcast the (tiny, committed) bloom table, keep the
+    # bit probe in codegen, and send ONLY the maybe-seen branch into
+    # the exact LeftAnti against the seen table
+    from doccrawler_spark import bloom as B
+    from doccrawler_spark.crawl import CrawlConfig as _CC
+    from doccrawler_spark.crawl import _ensure_bloom
+
+    bcfg = _CC(broadcast_dedup_max_frontier=0, seen_buckets=8)
+    upto = catalog.committed_rounds("frontier")[-1]
+    bloom_df = _ensure_bloom(spark, catalog, bcfg, upto)
+    pre = B.prefilter_new(
+        cand, bloom_df, catalog.seen_table(spark, 8),
+        bcfg.seen_buckets, bcfg.bloom_m_bits, bcfg.bloom_k,
+    )
+    sections.append((
+        "Bloom seen-prefilter split (definitely-new ∪ (maybe-seen "
+        "LeftAnti seen); bloom broadcasts, probe stays in codegen)",
+        plan_of(pre),
+        ["BroadcastHashJoin", "LeftAnti", "Union", "xxhash64",
+         "!CartesianProduct"],
+    ))
+
     md = [f"# BENCH/PLANS — physical plans of key operators ({datetime.date.today()})",
           "", "Regenerate with `python scripts/show_plans.py`. Each section lists",
           "the plan properties asserted (`!x` = must be ABSENT; present/absent",
