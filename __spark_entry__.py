@@ -129,7 +129,7 @@ def _q_ivf_topk(spark, sf_dir):
 
 # bump when the index layout/quantizer logic changes — invalidates the
 # per-(input, params) on-disk index cache below
-_ANN_IDX_VERSION = "r4a"
+_ANN_IDX_VERSION = "r4b"
 
 
 def _ann_index_dir(sf_dir: str, kind: str, tag: str) -> str:

@@ -377,21 +377,25 @@ def simhash64(documents: DataFrame) -> DataFrame:
 
     Plan shape (r4): NO explode, NO shuffle — the same per-doc
     array-arithmetic trick as the minhash rework.  One md5 digest per
-    distinct token materialized as a per-doc hash array, then bit b's
-    vote is ``aggregate(hk, 0, acc ± 1)`` and the simhash is the sum
-    of 32 such sign terms — a single narrow codegen'd projection.  The
-    r3 formulation exploded 32 bit-rows per token through a
-    (doc_id, bit) groupBy (~32× the token count through one shuffle).
-    Bit-identical to that form and to the DuckDB oracle (same votes,
-    same signs); docs with zero tokens vanish from the output in both
-    shapes (explode produced no rows; here an explicit size filter)."""
-    bits = 32
+    distinct token materialized as a per-doc hash array, then ONE
+    aggregate pass folds the array into 32 per-bit set-counts (a
+    32-long accumulator updated with zip_with), and bit b of the
+    simhash is ``2·count_b > n_tokens`` — algebraically the same
+    majority vote (vote_b = 2c_b − n > 0).  The r3 formulation
+    exploded 32 bit-rows per token through a (doc_id, bit) groupBy
+    (~32× the token count through one shuffle); an intermediate r4
+    draft ran 32 separate interpreted aggregate passes and measured
+    2.5× slower than this single-pass form at sf0.1 (1.26 s vs
+    0.50 s — the per-pass HOF dispatch dominates).  Bit-identical to
+    both and to the DuckDB oracle; docs with zero tokens vanish from
+    the output in all shapes (explode produced no rows; here an
+    explicit size filter)."""
     based = _fan_out(documents, "doc_id").select(
         "doc_id", F.array_distinct(tokens_col("text")).alias("toks")
     )
     # hash array materialized as its OWN column (lambda-scope CSE rule:
-    # an unaliased transform referenced inside the vote aggregates
-    # would re-run the md5 pass once per bit)
+    # an unaliased transform referenced inside the vote aggregate
+    # would re-run the md5 pass per accumulator step)
     hashed = based.select(
         "doc_id",
         F.transform(
@@ -401,25 +405,21 @@ def simhash64(documents: DataFrame) -> DataFrame:
             ),
         ).alias("hk"),
     ).select("doc_id", _opt_barrier(F.col("hk")).alias("hk"))
-
-    def _vote(b):
-        return F.aggregate(
-            "hk",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim + F.when(_vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return hashed.filter(F.size("hk") > 0).select(
-        "doc_id", sim.alias("simhash")
+    counts = F.expr(
+        "aggregate(hk, array_repeat(0L, 32), (acc, x) -> "
+        "zip_with(acc, sequence(0L, 31L), (a, i) -> a + ((x >> i) & 1)))"
     )
+    voted = hashed.filter(F.size("hk") > 0).select(
+        "doc_id",
+        F.size("hk").alias("n"),
+        _opt_barrier(counts).alias("c"),
+    )
+    sim = F.expr(
+        "aggregate(zip_with(c, sequence(0L, 31L), (cnt, i) -> "
+        "IF(2*cnt > n, shiftleft(1L, CAST(i AS INT)), 0L)), "
+        "0L, (a, x) -> a + x)"
+    )
+    return voted.select("doc_id", sim.alias("simhash"))
 
 
 def _band_keys(emb_col, n_bands: int, band_bits: int):
