@@ -283,21 +283,49 @@ def write_ivf_index(
     _write_index_meta(path, {"kind": "ivf", "centroids": cents})
 
 
+def _read_partitions(spark, path: str, subdirs: list[str]):
+    """Read ONLY the named Hive partition directories of a layout,
+    with ``basePath`` so the partition columns survive.  Listing cost
+    is ∝ probed directories — the full layout is never enumerated
+    (r4b: `spark.read.parquet(path).filter(partition_col...)` prunes
+    the SCAN but still LISTS every partition dir to build the file
+    index, which at 1030 LSH buckets cost ~1.5 s per query; at 10^9
+    objects on S3 it would be the whole query).  Missing directories
+    (empty buckets) are skipped driver-side — the same existence
+    check an object-store deployment does with one LIST per probed
+    prefix."""
+    import os
+
+    existing = [
+        os.path.join(path, d) for d in subdirs
+        if os.path.isdir(os.path.join(path, d))
+    ]
+    if not existing:
+        return None
+    return spark.read.option("basePath", path).parquet(*existing)
+
+
 def ivf_topk_indexed(
     spark, path: str, query_vec: list[float], k: int = 10, n_probe: int = 2,
 ) -> DataFrame:
     """IVF top-k over a :func:`write_ivf_index` layout: score the query
     against the stored centroids driver-side, then scan ONLY the
-    ``n_probe`` closest cells — ``cell`` is a partition column, so the
-    filter prunes at the file index (no data files outside the probed
-    cells are opened, let alone read).  Identical results to
-    :func:`ivf_topk` with the same centroids."""
+    ``n_probe`` closest cells — the probed ``cell=<id>`` directories
+    are addressed directly (no full partition discovery, no data files
+    outside them opened).  Identical results to :func:`ivf_topk` with
+    the same centroids."""
     meta = _read_index_meta(path)
     cents = meta["centroids"]
     qscores = [sum(q * c for q, c in zip(query_vec, cc)) for cc in cents]
     probes = sorted(range(len(cents)),
                     key=lambda j: (-qscores[j], j))[:n_probe]
-    df = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    df = _read_partitions(spark, path, [f"cell={j}" for j in probes])
+    if df is None:  # probed cells all empty
+        emp = spark.read.option("basePath", path).parquet(path).limit(0)
+        return cosine_topk(emp.drop("cell"), query_vec, k)
+    # belt-and-braces semantic filter (also what PLANS.md asserts as
+    # PartitionFilters — the path selection already did the pruning)
+    df = df.filter(F.col("cell").isin(probes))
     return cosine_topk(df.drop("cell"), query_vec, k)
 
 
@@ -341,11 +369,12 @@ def lsh_topk_indexed(
     spark, path: str, query_vec: list[float], k: int = 10,
 ) -> DataFrame:
     """Multi-table LSH top-k over a :func:`write_lsh_index` layout: the
-    query's per-table keys become an OR-of-(band,key) partition
-    predicate, so the scan prunes to ≤ n_tables bucket directories out
-    of n_tables·2^n_bits; candidates dedup on vec_id (a vector can
-    collide in several tables) before exact cosine + TakeOrdered.
-    Identical results to :func:`lsh_topk` at the same parameters."""
+    query's per-table keys address ≤ n_tables ``band=<t>/key=<pat>``
+    bucket directories directly out of n_tables·2^n_bits (no full
+    partition discovery — see :func:`_read_partitions`); candidates
+    dedup on vec_id (a vector can collide in several tables) before
+    exact cosine + TakeOrdered.  Identical results to
+    :func:`lsh_topk` at the same parameters."""
     meta = _read_index_meta(path)
     n_bits, n_tables = meta["n_bits"], meta["n_tables"]
     n_eff = max(1, min(n_tables, len(query_vec) // n_bits))
@@ -356,12 +385,19 @@ def lsh_topk_indexed(
             for x in query_vec[t * n_bits:(t + 1) * n_bits]
         )
 
+    df = _read_partitions(
+        spark, path, [f"band={t}/key={qkey(t)}" for t in range(n_eff)]
+    )
+    if df is None:  # no bucket holds any vector for this query
+        emp = spark.read.option("basePath", path).parquet(path).limit(0)
+        return cosine_topk(
+            emp.drop("band", "key").dropDuplicates(["vec_id"]), query_vec, k
+        )
     pred = None
     for t in range(n_eff):
         p = (F.col("band") == t) & (F.col("key") == qkey(t))
         pred = p if pred is None else (pred | p)
-    df = spark.read.parquet(path).filter(pred)
-    cand = df.drop("band", "key").dropDuplicates(["vec_id"])
+    cand = df.filter(pred).drop("band", "key").dropDuplicates(["vec_id"])
     return cosine_topk(cand, query_vec, k)
 
 

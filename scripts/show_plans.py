@@ -129,20 +129,22 @@ def main() -> None:
                               n_probe=2)
     ivf_plan = plan_of(ivf_df)
     sections.append((
-        "IVF top-k over the write-time cell layout (scan prunes to "
-        "n_probe=2 of 8 cell partitions)",
+        "IVF top-k over the write-time cell layout (scan addresses "
+        "n_probe=2 of 8 cell partition dirs directly — the file index "
+        "holds ONLY the probed paths)",
         ivf_plan,
         ["PartitionFilters: [", "!PartitionFilters: []",
-         "TakeOrderedAndProject"],
+         "InMemoryFileIndex(2 paths)", "TakeOrderedAndProject"],
     ))
     write_lsh_index(emb, f"{idx_root}/lsh", n_bits=8, n_tables=4)
     lsh_df = lsh_topk_indexed(spark, f"{idx_root}/lsh", list(qv), k=10)
     sections.append((
-        "LSH top-k over the write-time (band,key) layout (scan prunes "
-        "to <=4 bucket partitions via OR-of-(band,key))",
+        "LSH top-k over the write-time (band,key) layout (<=4 bucket "
+        "dirs of n_tables*2^8 addressed directly, no full partition "
+        "discovery)",
         plan_of(lsh_df),
         ["PartitionFilters: [", "!PartitionFilters: []",
-         "TakeOrderedAndProject"],
+         "InMemoryFileIndex(4 paths)", "TakeOrderedAndProject"],
     ))
 
     # 7. minhash signatures: ONE md5 per TOKEN, shingle keys by integer

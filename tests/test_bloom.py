@@ -121,3 +121,37 @@ def test_bloom_e2e_crawl_equivalence_and_healing(spark, tmp_path):
     healed_df = _ensure_bloom(spark, cat, cfg, blooms[-1])
     healed = {r["bucket"]: list(r["words"]) for r in healed_df.collect()}
     assert healed == before
+
+
+def test_bloom_prefilter_exact_hypothesis(spark):
+    """Property (hypothesis): for generated seen/candidate url sets —
+    arbitrary overlap, percent-escapes, dotted/dashed hosts — and any
+    (m_bits, k) down to a 2-word filter, prefilter_new equals the
+    plain anti-join exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    url = st.from_regex(r"https?://[a-z0-9.\-]{1,12}/[a-zA-Z0-9/_%\-.~]{0,16}",
+                        fullmatch=True)
+    urls = st.lists(url, min_size=0, max_size=40, unique=True)
+
+    @given(seen_urls=urls, cand_urls=urls,
+           m_bits=st.sampled_from([128, 1 << 10]),
+           k=st.integers(min_value=1, max_value=8))
+    @settings(max_examples=8, deadline=None)
+    def check(seen_urls, cand_urls, m_bits, k):
+        nb = 4
+        seen = spark.createDataFrame(
+            [(u,) for u in seen_urls] or [("https://never.test/x",)],
+            "url string",
+        )
+        cand = spark.createDataFrame(
+            [(u,) for u in cand_urls] or [("https://only.test/y",)],
+            "url string",
+        )
+        bl = B.bloom_delta(seen, nb, m_bits, k)
+        got = {r["url"]
+               for r in B.prefilter_new(cand, bl, seen, nb, m_bits, k).collect()}
+        want = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+        assert got == want
+
+    check()
