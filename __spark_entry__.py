@@ -57,6 +57,34 @@ def _q_crawl_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entry(spark)
 
 
+def _q_crawl_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME deterministic tiny crawl as crawl_tiny_e2e, forced down
+    the cluster-scale F8 path every round (hash-bucketed seen TABLE +
+    the partitioned Bloom prefilter; broadcast cutoff 0) — identical
+    results through a different physical dedup plan, so it shares
+    crawl_tiny's VALUES-golden oracle.  This puts the 10^10-scale
+    seen-set machinery itself under the driver correctness gate."""
+    from doccrawler_spark.crawl import CrawlConfig, crawl, crawled_all
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    root = tempfile.mkdtemp(prefix="doccrawler_entry_bkt_")
+    catalog = crawl(
+        spark, web, seeds, root,
+        CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                    seen_buckets=8),
+    )
+    return crawled_all(spark, catalog).orderBy("priority").select(
+        "url", "site_id", "depth", "round", "priority",
+        F.length("text").alias("text_len"),
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from doccrawler_spark.ops.dedup import exact_dedup
 
@@ -466,6 +494,7 @@ def _q_sessionize(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_tiny_e2e": _q_crawl_tiny,
+        "crawl_bucketed_e2e": _q_crawl_bucketed,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_lsh": _q_minhash_lsh,
@@ -1124,4 +1153,7 @@ def oracle_sql() -> dict[str, str]:
     # oracle, two physical plans (full scan vs partition-pruned scan)
     out["ivf_topk_indexed"] = out["ivf_topk"]
     out["lsh_topk_indexed"] = out["lsh_topk"]
+    # the bucketed+Bloom crawl is result-identical to the broadcast
+    # crawl — one golden, two physical seen-set plans
+    out["crawl_bucketed_e2e"] = out["crawl_tiny_e2e"]
     return out
