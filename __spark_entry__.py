@@ -184,6 +184,29 @@ def _ann_index_dir(sf_dir: str, kind: str, tag: str) -> str:
     )
 
 
+def _ensure_index(d: str, build) -> None:
+    """Atomically populate the shared /tmp ANN index cache: build into
+    a unique sibling dir, then rename into place, mirroring the
+    repo's atomic-manifest pattern — two concurrent driver/bench
+    processes can no longer interleave ``mode("overwrite")`` deletes
+    with a reader's scan (the cache path either doesn't exist or is a
+    complete committed layout).  Losing the rename race to another
+    builder is success."""
+    import shutil
+
+    if os.path.exists(os.path.join(d, "_index_meta.json")):
+        return
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    tmp = f"{d}.build.{os.getpid()}"
+    try:
+        build(tmp)
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(d, "_index_meta.json")):
+            raise
+
+
 def _q_ivf_topk_indexed(spark, sf_dir):
     """Same query + quantizer as ivf_topk, answered from the write-time
     IVF layout: cell is a partition column, the scan prunes to the 2
@@ -197,8 +220,10 @@ def _q_ivf_topk_indexed(spark, sf_dir):
     emb = _doc(spark, sf_dir, "embeddings")
     qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     d = _ann_index_dir(sf_dir, "ivf", "c8")
-    if not os.path.exists(os.path.join(d, "_index_meta.json")):
-        write_ivf_index(emb, d, centroids=hash_sample_centroids(emb, 8))
+    _ensure_index(
+        d, lambda t: write_ivf_index(emb, t,
+                                     centroids=hash_sample_centroids(emb, 8))
+    )
     return ivf_topk_indexed(spark, d, [float(x) for x in qv], k=10, n_probe=2)
 
 
@@ -214,9 +239,28 @@ def _q_lsh_topk_indexed(spark, sf_dir):
     emb = _doc(spark, sf_dir, "embeddings")
     qv = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     d = _ann_index_dir(sf_dir, "lsh", "b8t4")
-    if not os.path.exists(os.path.join(d, "_index_meta.json")):
-        write_lsh_index(emb, d, n_bits=8, n_tables=4)
+    _ensure_index(d, lambda t: write_lsh_index(emb, t, n_bits=8, n_tables=4))
     return lsh_topk_indexed(spark, d, list(qv), k=10)
+
+
+def _q_knn_join_indexed(spark, sf_dir):
+    """Same bulk-ANN result as knn_join (shares its oracle), answered
+    from the write-time (band,key) LSH layout: the corpus side is a
+    partition-pruned scan of only the bucket dirs the 5 query vectors
+    probe — the index-side search the 100-TB dedup workload runs —
+    instead of re-banding the full corpus per batch."""
+    from doccrawler_spark.ops.similarity import (
+        knn_join_indexed,
+        write_lsh_index,
+    )
+
+    emb = _doc(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    d = _ann_index_dir(sf_dir, "lsh", "b4t4")
+    _ensure_index(d, lambda t: write_lsh_index(emb, t, n_bits=4, n_tables=4))
+    return knn_join_indexed(spark, d, q, k=5).orderBy("q_id", "vec_id")
 
 
 def _q_knn_join(spark, sf_dir):
@@ -507,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_indexed": _q_lsh_topk_indexed,
         "ivf_topk_indexed": _q_ivf_topk_indexed,
         "knn_join": _q_knn_join,
+        "knn_join_indexed": _q_knn_join_indexed,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -934,10 +979,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
             ), keep AS (
               -- the engine's max_df stop-shingle cap, replayed exactly:
-              -- a shingle held by more than 100000 docs never joins
+              -- a shingle held by more than 2000 docs never joins
               SELECT skey FROM (
                 SELECT skey, count(*) AS df FROM sh GROUP BY skey
-              ) WHERE df <= 100000
+              ) WHERE df <= 2000
             ), shk AS (
               SELECT sh.doc_id, sh.skey FROM sh JOIN keep USING (skey)
             ), common AS (
@@ -1153,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
     # oracle, two physical plans (full scan vs partition-pruned scan)
     out["ivf_topk_indexed"] = out["ivf_topk"]
     out["lsh_topk_indexed"] = out["lsh_topk"]
+    out["knn_join_indexed"] = out["knn_join"]
     # the bucketed+Bloom crawl is result-identical to the broadcast
     # crawl — one golden, two physical seen-set plans
     out["crawl_bucketed_e2e"] = out["crawl_tiny_e2e"]

@@ -118,7 +118,7 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
 QUERY_SUBSET = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "minhash_verified", "simhash",
     "embedding_neardup", "cosine_topk", "lsh_topk", "ivf_topk",
-    "lsh_topk_indexed", "ivf_topk_indexed", "knn_join",
+    "lsh_topk_indexed", "ivf_topk_indexed", "knn_join", "knn_join_indexed",
     "token_stats",
     "quality_scores", "lang_id", "fingerprint", "hybrid_topk", "chunk_documents",
     "multimodal_features", "multimodal_frames",
@@ -164,6 +164,7 @@ def main() -> None:
             qs["token_stats"](spark, sf_dir).count()
             qs["ivf_topk_indexed"](spark, sf_dir).count()
             qs["lsh_topk_indexed"](spark, sf_dir).count()
+            qs["knn_join_indexed"](spark, sf_dir).count()
         except Exception:  # pragma: no cover
             pass
         for name in QUERY_SUBSET:

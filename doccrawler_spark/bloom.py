@@ -44,20 +44,36 @@ from pyspark.sql import functions as F
 # second-hash differentiator: xxhash64(url, _SEED2) is an independent
 # digest of the same url (the tuple hashes, not the column alone)
 _SEED2 = 0x9E3779B9
+# bucket digest seed: the bucket must NOT be derived from the same
+# unseeded xxhash64 as h1 (their low bits would correlate, skewing the
+# per-bucket fp rate — r4 advice)
+_SEED3 = 0x85EBCA6B
+
+# bump when the hash/layout math changes: persisted alongside
+# (m_bits, k, n_buckets) in every snapshot row, so _ensure_bloom
+# discards and rebuilds a filter whose stored math differs from the
+# running code instead of OR-merging incompatible bit patterns
+_BLOOM_FMT = 2
 
 BLOOM_TABLE = "seen_bloom"
+_PARAM_COLS = ("m_bits", "k", "n_buckets", "fmt")
 
 
 def bucket_expr(url_col: str, n_buckets: int) -> str:
-    return f"CAST(pmod(xxhash64({url_col}), {n_buckets}) AS INT)"
+    return (
+        f"CAST(pmod(xxhash64({url_col}, {_SEED3}L), {n_buckets}) AS INT)"
+    )
 
 
 def _pos_sql(url_col: str, i: int, m_bits: int) -> str:
     """SQL for the i-th Bloom bit position of a url: classic double
-    hashing, every intermediate already reduced mod m (sums stay under
-    k·m < 2^35 — ANSI-safe)."""
+    hashing with h2 forced ODD (``1 + 2·pmod(·, m/2)``) — an even or
+    zero h2 against a power-of-two m collapses the k probes onto a
+    short cycle (h2=0: ONE effective bit per url); odd h2 is coprime
+    with m so the k positions are distinct.  Every intermediate is
+    already reduced mod m (sums stay under k·m < 2^35 — ANSI-safe)."""
     h1 = f"pmod(xxhash64({url_col}), {m_bits})"
-    h2 = f"pmod(xxhash64({url_col}, {_SEED2}L), {m_bits})"
+    h2 = f"(1 + 2 * pmod(xxhash64({url_col}, {_SEED2}L), {m_bits // 2}))"
     return f"pmod({h1} + {i} * {h2}, {m_bits})"
 
 
@@ -98,6 +114,16 @@ def bloom_delta(
                 F.try_element_at("wm", i), F.lit(0).cast("bigint")
             ),
         ).alias("words"),
+        # build parameters ride along in every snapshot row (constant,
+        # a few bytes after parquet RLE): _ensure_bloom refuses to
+        # OR-merge a snapshot whose stored (m_bits, k, n_buckets, fmt)
+        # differ from the running config — mismatched params turn into
+        # Bloom FALSE NEGATIVES (NULL-padded zip_with words, probes of
+        # never-set bits), which would silently break exactness
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(k).alias("k"),
+        F.lit(n_buckets).alias("n_buckets"),
+        F.lit(_BLOOM_FMT).alias("fmt"),
     )
 
 
@@ -119,8 +145,31 @@ def bloom_merge(frames: list[DataFrame], m_bits: int) -> DataFrame:
             F.collect_list("words"),
             zero,
             lambda acc, w: F.zip_with(acc, w, lambda a, b: a.bitwiseOR(b)),
-        ).alias("words")
+        ).alias("words"),
+        # params are identical across merged frames (callers guarantee
+        # it via params_match before merging) — min is just a
+        # deterministic carry-through
+        *[F.min(c).alias(c) for c in _PARAM_COLS],
     )
+
+
+def params_match(
+    bloom_df: DataFrame, n_buckets: int, m_bits: int, k: int
+) -> bool:
+    """True iff a committed bloom snapshot was built with exactly the
+    given parameters AND the current hash format.  Pre-fmt snapshots
+    (no param columns) and empty frames with missing columns report
+    False → the caller rebuilds from frontier history, which is always
+    safe (cost ∝ |history|, correctness guaranteed).  One LIMIT-1
+    driver-side read of a tiny table — resume-time only."""
+    if not set(_PARAM_COLS) <= set(bloom_df.columns):
+        return False
+    rows = bloom_df.select(*_PARAM_COLS).limit(1).collect()
+    if not rows:  # empty filter: vacuously compatible
+        return True
+    r = rows[0]
+    return (r["m_bits"] == m_bits and r["k"] == k
+            and r["n_buckets"] == n_buckets and r["fmt"] == _BLOOM_FMT)
 
 
 def maybe_seen_sql(
@@ -141,14 +190,18 @@ def maybe_seen_sql(
     return "coalesce(" + " AND ".join(tests) + ", false)"
 
 
-def prefilter_new(
-    candidates: DataFrame, bloom: DataFrame, seen: DataFrame,
+def split_maybe(
+    candidates: DataFrame, bloom: DataFrame,
     n_buckets: int, m_bits: int, k: int, url_col: str = "url",
-) -> DataFrame:
-    """The F8 split: definitely-new candidates pass straight through;
-    maybe-seen candidates (true dups + fp rate) anti-join the exact
-    seen table.  Result set is EXACTLY ``candidates ANTI seen`` — the
-    Bloom only routes rows, it never decides membership."""
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen): the Bloom ROUTING primitive, shared
+    by both seen-dedup branches.  A candidate with any probe bit clear
+    (or no bloom row for its bucket) has definitely never been enqueued;
+    the rest — true dups + the fp rate — must take the exact check.
+    The Bloom only routes rows, it never decides membership."""
+    # probe needs only (bucket, words); the persisted param columns
+    # (and anything else a future snapshot carries) stay out of the join
+    bloom = bloom.select("bucket", "words")
     cb = candidates.withColumn(
         "_bloom_bucket", F.expr(bucket_expr(url_col, n_buckets))
     )
@@ -162,6 +215,20 @@ def prefilter_new(
         "_bloom_bucket", "words", "_maybe"
     )
     maybe = jb.filter(F.col("_maybe")).drop("_bloom_bucket", "words", "_maybe")
+    return definitely_new, maybe
+
+
+def prefilter_new(
+    candidates: DataFrame, bloom: DataFrame, seen: DataFrame,
+    n_buckets: int, m_bits: int, k: int, url_col: str = "url",
+) -> DataFrame:
+    """The F8 split over the bucketed seen TABLE: definitely-new
+    candidates pass straight through; maybe-seen candidates anti-join
+    the exact seen table.  Result set is EXACTLY ``candidates ANTI
+    seen``."""
+    definitely_new, maybe = split_maybe(
+        candidates, bloom, n_buckets, m_bits, k, url_col
+    )
     return definitely_new.unionByName(
         maybe.join(seen, url_col, "left_anti")
     )

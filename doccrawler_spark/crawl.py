@@ -364,12 +364,23 @@ def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
     have = [r for r in catalog.committed_rounds(B.BLOOM_TABLE)
             if r <= upto_round]
     latest = have[-1] if have else None
+    latest_df = None
+    if latest is not None:
+        latest_df = catalog.read(spark, B.BLOOM_TABLE, latest)
+        if not B.params_match(latest_df, cfg.seen_buckets,
+                              cfg.bloom_m_bits, cfg.bloom_k):
+            # resume with changed bloom params (or a pre-fmt snapshot):
+            # OR-merging incompatible bit patterns would yield FALSE
+            # NEGATIVES (NULL-padded zip_with words / probes of
+            # never-set bits) and silently break exactness — discard
+            # and rebuild the whole filter from frontier history
+            latest, latest_df = None, None
     missing = [r for r in rounds if latest is None or r > latest]
     if not missing:
-        return catalog.read(spark, B.BLOOM_TABLE, latest)
+        return latest_df
     frames = []
-    if latest is not None:
-        frames.append(catalog.read(spark, B.BLOOM_TABLE, latest))
+    if latest_df is not None:
+        frames.append(latest_df)
     for r in missing:
         delta = (
             catalog.read(spark, "frontier", r)
@@ -605,8 +616,29 @@ def run_round(
                 .filter(F.col("is_new"))
                 .select("url")
             )
-            hits = seen.join(F.broadcast(firsts.select("url")), "url", "left_semi")
-            new_items = firsts.join(F.broadcast(hits), "url", "left_anti")
+            # Bloom routing in the broadcast branch too (r5): only
+            # maybe-seen candidates enter the double-broadcast exact
+            # check, shrinking both broadcasts (early rounds: almost
+            # everything is definitely-new and skips them entirely).
+            # The seen scan + double-broadcast shape is unchanged —
+            # the seen side is still never shuffled.
+            bloom_df = (
+                _ensure_bloom(spark, catalog, cfg, round_ - 1)
+                if cfg.bloom_prefilter else None
+            )
+            if bloom_df is not None:
+                from . import bloom as B
+
+                definitely_new, maybe = B.split_maybe(
+                    firsts, bloom_df, cfg.seen_buckets,
+                    cfg.bloom_m_bits, cfg.bloom_k,
+                )
+            else:
+                definitely_new, maybe = None, firsts
+            hits = seen.join(F.broadcast(maybe.select("url")), "url", "left_semi")
+            new_items = maybe.join(F.broadcast(hits), "url", "left_anti")
+            if definitely_new is not None:
+                new_items = definitely_new.unionByName(new_items)
         else:
             # cluster-scale path: hash-bucketed seen TABLE.  The
             # SortMergeJoin reads the (huge, ever-growing) seen side

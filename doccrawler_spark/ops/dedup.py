@@ -181,7 +181,8 @@ def _materialize(df: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.6,
-    max_df: int | None = 100_000, key_fn: str = "md5",
+    max_df: int | None = 2_000, key_fn: str = "md5",
+    pair_budget: int | None = 1_000_000_000,
 ) -> DataFrame:
     """Near-dup pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -190,12 +191,26 @@ def ngram_jaccard_pairs(
 
     ``max_df`` is the stop-shingle cap: a shingle held by more than
     max_df docs (boilerplate — nav bars, license headers) is dropped
-    from the posting-list join so one hot shingle can't go quadratic
-    (100k docs sharing one shingle = 5·10^9 pairs in a single join
-    key).  Exact below the cap; above it, pairs sharing only
+    from the posting-list join so one hot shingle can't go quadratic.
+    One join KEY is one TASK — `repartition(skey)` spreads keys, not a
+    key, and AQE skew-split can't break the pair *generation* of a
+    single key — so max_df is the per-task ceiling: the default 2,000
+    caps any one shingle at ~2·10⁶ join rows in its task (the r4
+    default of 100,000 permitted a 5·10⁹-row single-task stall just
+    under the cap).  Exact below the cap; above it, pairs sharing only
     stop-shingles are missed and surviving pairs score a lower-bound
     Jaccard (stop-shingles leave the intersection count but not the
-    union) — the standard candidate-prefilter tradeoff."""
+    union) — the standard candidate-prefilter tradeoff; corpora whose
+    near-dup signal lives in hotter shingles belong on the
+    :func:`minhash_lsh_pairs` / minhash-verified path, whose banding
+    bounds candidates regardless of shingle heat.
+
+    ``pair_budget`` guards the TOTAL join fan-out: before the
+    self-join, one tiny aggregate over the (already-materialized)
+    posting list computes Σ df·(df−1)/2 — the exact number of join
+    rows the surviving shingles will generate — and raises with the
+    measured blast radius and the knobs to turn instead of launching
+    a job that cannot finish.  ``None`` disables either guard."""
     sh = _materialize(_shingle_keys(documents, n, key_fn))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # posting-list prune (result-preserving): a shingle held by a single
@@ -206,7 +221,26 @@ def ngram_jaccard_pairs(
     df_per_shingle = sh.groupBy("skey").count()
     if max_df is not None:
         df_per_shingle = df_per_shingle.filter(F.col("count") <= max_df)
-    shared = df_per_shingle.filter(F.col("count") > 1).select("skey")
+    shared_df = df_per_shingle.filter(F.col("count") > 1)
+    if pair_budget is not None:
+        st = shared_df.agg(
+            F.sum(
+                F.col("count").cast("double")
+                * (F.col("count") - 1).cast("double") / 2
+            ).alias("pairs"),
+            F.max("count").alias("hottest"),
+        ).collect()[0]
+        total = int(st["pairs"] or 0)
+        if total > pair_budget:
+            raise ValueError(
+                f"ngram_jaccard_pairs: surviving shingles would generate "
+                f"{total:,} candidate join rows (> pair_budget="
+                f"{pair_budget:,}; hottest shingle df={st['hottest']:,}, "
+                f"max_df={max_df}).  Lower max_df, raise pair_budget, or "
+                f"use the minhash_verified path, whose LSH banding bounds "
+                f"candidates regardless of shingle heat."
+            )
+    shared = shared_df.select("skey")
     # repartition by the join key so the per-shingle quadratic work is
     # spread across tasks (AQE would otherwise coalesce this small
     # shuffle to one partition and serialize the whole join)

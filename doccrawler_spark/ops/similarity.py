@@ -401,6 +401,60 @@ def lsh_topk_indexed(
     return cosine_topk(cand, query_vec, k)
 
 
+def compact_index(spark, path: str, target_bytes: int = 128 << 20) -> dict:
+    """Compact an ANN index layout's data files: rewrite each partition
+    directory's contents into ~``target_bytes`` files (one writing task
+    per directory, ``maxRecordsPerFile`` splitting only genuinely large
+    buckets).  Write-time layouts trade query pruning for file count —
+    `write_lsh_index` makes ~n_tables·2^n_bits directories, and at
+    100× corpus scale repeated appends/rebuilds would strand thousands
+    of KB-sized files whose open/list overhead dominates the pruned
+    scan (the classic small-file problem; object stores bill per
+    request).  Operational target: files within a bucket dir at
+    100-500 MB — compact after bulk builds, not per query.
+
+    Atomic: the compacted layout is written beside the live one and
+    swapped in with two renames, so concurrent readers see either the
+    old or the new complete layout (the meta file rides along
+    unchanged — same quantizer/params, same results).  Returns
+    {files_before, files_after, bytes}."""
+    import os
+    import shutil
+
+    meta = _read_index_meta(path)
+    pcols = ["cell"] if meta["kind"] == "ivf" else ["band", "key"]
+
+    def _stats(p: str) -> tuple[int, int]:
+        n, size = 0, 0
+        for root, _dirs, names in os.walk(p):
+            for f in names:
+                if f.endswith(".parquet"):
+                    n += 1
+                    size += os.path.getsize(os.path.join(root, f))
+        return n, size
+
+    files_before, total_bytes = _stats(path)
+    df = spark.read.option("basePath", path).parquet(path)
+    total_rows = df.count()
+    avg_row = max(1, total_bytes // max(1, total_rows))
+    rpf = max(1, target_bytes // avg_row)
+    tmp = f"{path}.compact.{os.getpid()}"
+    (
+        df.repartition(*pcols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rpf)
+        .partitionBy(*pcols).parquet(tmp)
+    )
+    _write_index_meta(tmp, meta)
+    old = f"{path}.old.{os.getpid()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after, _ = _stats(path)
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes": total_bytes}
+
+
 def knn_join(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 4,
     n_tables: int = 4, salt: int = 16, salted: bool | None = None,
@@ -436,36 +490,59 @@ def knn_join(
     Unknown stats (Catalyst's Long.Max sentinel) keep the salted
     scale shape — the conservative default for 100 TB inputs.
     """
+    if salted is None:
+        salted = _plan_size_bytes(embeddings) >= (64 << 20)
+
+    c = _banded(embeddings, "embedding", n_bits, n_tables)
+    q = _banded(queries, "q_emb", n_bits, n_tables)
+    joined = q.join(c, ["band", "key"])
+    return _knn_rank(joined, k=k, salt=salt, salted=salted)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer size estimate for a plan (Long.Max sentinel
+    → very large, keeping callers on their conservative branch)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 60
+
+
+def _banded(df: DataFrame, vec_col: str, n_bits: int, n_tables: int,
+            key_prefix: str = "") -> DataFrame:
+    """Explode one row per LSH table: band t keys on the sign pattern
+    of dims [t·n_bits, (t+1)·n_bits).  ``key_prefix`` matches the
+    write-time layout's partition-value pinning (see
+    :func:`write_lsh_index` — the "k" prefix)."""
+    return df.select(
+        *df.columns,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.concat(
+                    F.lit(key_prefix),
+                    sign_bucket(F.col(vec_col), n_bits, t * n_bits),
+                ).alias("key"),
+            )
+            for t in range(n_tables)
+        ])).alias("bk"),
+    ).select(*df.columns, "bk.band", "bk.key")
+
+
+def _knn_rank(joined: DataFrame, k: int, salt: int, salted: bool) -> DataFrame:
+    """The shared knn tail: cosine-score a (band,key)-joined
+    query×candidate relation, optionally bound per-task sort memory
+    with the lossless salted per-(query, band) pre-top-k, dedup
+    multi-band collisions, and emit the per-query top-k.  See
+    :func:`knn_join` for the losslessness argument."""
     from pyspark.sql import Window
 
-    if salted is None:
-        try:
-            size = int(
-                embeddings._jdf.queryExecution()
-                .optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            size = 1 << 60
-        salted = size >= (64 << 20)
-
-    def banded(df: DataFrame, vec_col: str) -> DataFrame:
-        return df.select(
-            *df.columns,
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(t).alias("band"),
-                    sign_bucket(F.col(vec_col), n_bits, t * n_bits).alias("key"),
-                )
-                for t in range(n_tables)
-            ])).alias("bk"),
-        ).select(*df.columns, "bk.band", "bk.key")
-
-    c = banded(embeddings, "embedding")
-    q = banded(queries, "q_emb")
     cos = _dot(F.col("embedding"), F.col("q_emb")) / (
         _norm(F.col("embedding")) * _norm(F.col("q_emb"))
     )
-    joined = q.join(c, ["band", "key"]).withColumn("cosine", F.round(cos, 6))
+    joined = joined.withColumn("cosine", F.round(cos, 6))
     order = [F.desc("cosine"), F.asc("vec_id")]
     w_q = Window.partitionBy("q_id").orderBy(*order)
     if salted:
@@ -487,3 +564,45 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "cosine")
     )
+
+
+def knn_join_indexed(
+    spark, path: str, queries: DataFrame, k: int = 5, salt: int = 16,
+    salted: bool | None = None,
+) -> DataFrame:
+    """Bulk ANN over a :func:`write_lsh_index` layout — the index-side
+    search a 100-TB dedup pipeline actually runs (reference analogue:
+    index-side query, pinecone_service.py:131-178).  Identical results
+    to :func:`knn_join` at the layout's (n_bits, n_tables): the layout
+    stores each vector once per band under ``band=<t>/key=<pat>/``, so
+    joining banded queries against it IS the inline banding — but the
+    corpus side is a partition-PRUNED scan of only the bucket
+    directories some query actually probes, instead of re-banding the
+    full corpus per batch (knn_join's remaining r4 weakness).
+
+    The probed directory set is collected driver-side from the banded
+    queries — bounded by the KEYSPACE, min(n_tables·2^n_bits,
+    n_tables·|Q|) rows of two small columns, a design parameter (64 for
+    the 4×4-bit default), not a data-scale quantity.  Directories are
+    then addressed directly (see :func:`_read_partitions` — no full
+    layout listing).  ``salted`` defaults from the PRUNED scan's
+    file-size stats, so small probe sets skip the pre-top-k windows
+    automatically while big buckets keep the bounded-memory shape."""
+    meta = _read_index_meta(path)
+    n_bits, n_tables = meta["n_bits"], meta["n_tables"]
+
+    q = _banded(queries, "q_emb", n_bits, n_tables, key_prefix="k")
+    # consumed twice (probe-dir collect + the join); the banded batch is
+    # small — materialize once instead of re-deriving per consumer
+    q = q.localCheckpoint(eager=True)
+    keys = q.select("band", "key").distinct().collect()
+    dirs = [f"band={r['band']}/key={r['key']}" for r in keys]
+    c = _read_partitions(spark, path, dirs)
+    if c is None:  # no probed bucket exists — no candidates at all
+        emp = spark.read.option("basePath", path).parquet(path).limit(0)
+        joined = q.join(emp, ["band", "key"])
+        return _knn_rank(joined, k=k, salt=salt, salted=False)
+    if salted is None:
+        salted = _plan_size_bytes(c) >= (64 << 20)
+    joined = q.join(c, ["band", "key"])
+    return _knn_rank(joined, k=k, salt=salt, salted=salted)

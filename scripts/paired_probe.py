@@ -32,8 +32,18 @@ def run_at(cpus: int, pages: int) -> dict:
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True,
                          timeout=3600)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)["crawl"]
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench.py failed at local[{cpus}] (rc={out.returncode}):\n"
+            f"{out.stderr.strip()[-2000:]}"
+        )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py at local[{cpus}] printed no JSON line; stdout tail:\n"
+            f"{out.stdout.strip()[-2000:]}"
+        )
+    return json.loads(lines[-1])["crawl"]
 
 
 def main() -> None:
@@ -56,8 +66,9 @@ def main() -> None:
             print(f"[pair] local[{args.low}] (same patch): rounds "
                   f"{lo['rounds_sec']}s steady "
                   f"{lo['pages_per_sec_steady']}", flush=True)
+            lo_steady = lo["pages_per_sec_steady"] or float("nan")
             eff = (hi["pages_per_sec_steady"]
-                   / lo["pages_per_sec_steady"]) / (args.high / args.low)
+                   / lo_steady) / (args.high / args.low)
             print(json.dumps({
                 "paired": True, "low": lo, "high": hi,
                 "efficiency_steady": round(eff, 4),

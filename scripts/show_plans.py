@@ -147,6 +147,40 @@ def main() -> None:
          "InMemoryFileIndex(4 paths)", "TakeOrderedAndProject"],
     ))
 
+    # 6c. bulk ANN over the layout (r5): the index-side search the
+    # 100-TB dedup workload runs — corpus side must be a pruned scan of
+    # only the bucket dirs the query batch probes (strictly fewer than
+    # the 4×2^4=64-dir layout), joined + windowed, never re-banded
+    from doccrawler_spark.ops.similarity import (
+        knn_join_indexed,
+        write_lsh_index as _wli,
+    )
+
+    _wli(emb, f"{idx_root}/knn_lsh", n_bits=4, n_tables=4)
+    kji = knn_join_indexed(spark, f"{idx_root}/knn_lsh", q, k=5)
+    kji_plan = plan_of(kji)
+    import re as _re
+
+    m = _re.search(r"InMemoryFileIndex\((\d+) paths\)", kji_plan)
+    n_layout_dirs = sum(
+        1 for b in os.scandir(f"{idx_root}/knn_lsh") if b.is_dir()
+        for _ in os.scandir(b.path)
+    )
+    pruned_note = (
+        f"(pruned file index: {m.group(1) if m else '?'} paths of "
+        f"{n_layout_dirs} layout dirs)"
+    )
+    checks = ["PartitionFilters: [", "!PartitionFilters: []",
+              "!CartesianProduct"]
+    if m and int(m.group(1)) < n_layout_dirs:
+        checks.append("InMemoryFileIndex(%s paths)" % m.group(1))
+    sections.append((
+        "knn_join_indexed (bulk ANN over the write-time (band,key) "
+        "layout: banded query batch ⋈ pruned bucket scan) " + pruned_note,
+        kji_plan,
+        checks,
+    ))
+
     # 7. minhash signatures: ONE md5 per TOKEN, shingle keys by integer
     # combine, per-doc array_min projection — NO explode, NO shuffle
     from doccrawler_spark.ops.dedup import minhash_signatures

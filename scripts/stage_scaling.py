@@ -111,13 +111,35 @@ def stage_simhash():
     from doccrawler_spark.ops.dedup import simhash64
     simhash64(docs_like).select(F.sum("simhash")).collect()
 
+# r5: the dedup workhorses over the FULL crawled corpus (all 240k
+# pages the crawl bench builds, not the pages-arg slice) — the
+# dedup family's scaling evidence at the scale the crawl actually
+# produces.  Text only is cached (html bytes excluded).
+docs_full = (full.select(F.xxhash64("url").alias("doc_id"),
+                         F.col("text")).cache())
+n_full = docs_full.count()
+print(f"[stage worker] full-corpus docs={n_full}", flush=True)
+
+def stage_minhash_crawl():
+    from doccrawler_spark.ops.dedup import minhash_signatures
+    minhash_signatures(docs_full, n=3, k=16).select(
+        F.sum(F.size("sig"))).collect()
+
+def stage_simhash_crawl():
+    from doccrawler_spark.ops.dedup import simhash64
+    simhash64(docs_full).select(F.sum("simhash")).collect()
+
 out = {}
 for name, fn in [("scan", stage_scan), ("extract", stage_extract),
                  ("vectorize", stage_vectorize), ("jvm_hash", stage_jvm_hash),
                  ("minhash", stage_minhash), ("minhash_xx", stage_minhash_xx),
-                 ("simhash", stage_simhash)]:
+                 ("simhash", stage_simhash),
+                 ("minhash_crawl", stage_minhash_crawl),
+                 ("simhash_crawl", stage_simhash_crawl)]:
+    # the full-corpus cells are ~8x the slice cells: cap at 2 reps
+    reps = min(repeats, 2) if name.endswith("_crawl") else repeats
     best = None
-    for _ in range(repeats):
+    for _ in range(reps):
         t0 = time.time()
         fn()
         dt = time.time() - t0
@@ -125,6 +147,26 @@ for name, fn in [("scan", stage_scan), ("extract", stage_extract),
     out[name] = round(best, 2)
 print("STAGEJSON " + json.dumps(out))
 """
+
+
+def code_stamp() -> str:
+    """Identity of the operator code the numbers were measured on:
+    git HEAD (+dirty marker when the working tree differs) — the
+    --merge-prior key, so stale minima from older code can never mask
+    a regression in the regenerated artifact."""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip() or "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "doccrawler_spark", "scripts"], cwd=REPO,
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        return head + ("+dirty" if dirty else "")
+    except Exception:
+        return "unknown"
 
 
 def run_at(cpus: int, pages: int, repeats: int, web_path: str) -> dict:
@@ -181,17 +223,30 @@ def main() -> None:
     hi = run_at(args.high, args.pages, args.repeats, web_path)
     print(f"[stages] local[{args.high}]: {hi}", flush=True)
 
+    stamp = code_stamp()
+    merged_note = ""
     if args.merge_prior:
         prior_path = os.path.join(REPO, "BENCH", "STAGES.md")
         try:
             txt = open(prior_path).read()
             pj = json.loads(txt.rsplit("```json", 1)[1].split("```")[0])
             if (pj.get("cores") == [args.low, args.high]
-                    and pj.get("pages") == args.pages):
+                    and pj.get("pages") == args.pages
+                    and pj.get("code") == stamp):
                 lo = {k: min(v, pj["low"].get(k, v)) for k, v in lo.items()}
                 hi = {k: min(v, pj["high"].get(k, v)) for k, v in hi.items()}
-                print(f"[stages] merged prior minima: lo={lo} hi={hi}",
-                      flush=True)
+                merged_note = (
+                    f"\nPer-cell minima MERGED with prior sessions at the "
+                    f"same code stamp `{stamp}` (merge keyed on git HEAD: "
+                    f"numbers from older operator code are never carried "
+                    f"forward; last merge "
+                    f"{datetime.date.today()}).\n"
+                )
+                print(f"[stages] merged prior minima (code={stamp}): "
+                      f"lo={lo} hi={hi}", flush=True)
+            elif pj.get("code") != stamp:
+                print(f"[stages] --merge-prior skipped: prior code stamp "
+                      f"{pj.get('code')!r} != current {stamp!r}", flush=True)
         except (OSError, IndexError, ValueError, KeyError):
             pass
 
@@ -201,16 +256,20 @@ def main() -> None:
     rows = "\n".join(
         f"| {k} | {lo[k]} | {hi[k]} | {effs[k]} |"
         for k in ["scan", "extract", "vectorize", "jvm_hash", "minhash",
-                  "minhash_xx", "simhash"]
+                  "minhash_xx", "simhash", "minhash_crawl",
+                  "simhash_crawl"]
+        if k in lo
     )
     md = f"""# BENCH/STAGES — per-stage strong scaling ({datetime.date.today()})
 
 Same input ({args.pages} pages of the bench corpus, ~23 KB HTML each,
 cached in executor memory), each stage its own job in its own JVM at
 local[{args.low}] vs local[{args.high}]; best of {args.repeats} runs per
-cell (bursty-host minimum-of-N protocol).  Regenerate:
+cell (bursty-host minimum-of-N protocol).  The two `*_crawl` cells run
+the dedup workhorses over the FULL 240k-page corpus the crawl bench
+builds (text cached, best of ≤2).  Code stamp: `{stamp}`.  Regenerate:
 `python scripts/stage_scaling.py`.
-
+{merged_note}
 | stage | t(local[{args.low}]) s | t(local[{args.high}]) s | efficiency {args.low}->{args.high} |
 |---|---|---|---|
 {rows}
@@ -243,7 +302,8 @@ single-box efficiencies here are a FLOOR on real-cluster scaling.)
 
 ```json
 {json.dumps({"low": lo, "high": hi, "efficiency": effs,
-             "cores": [args.low, args.high], "pages": args.pages}, indent=2)}
+             "cores": [args.low, args.high], "pages": args.pages,
+             "code": stamp}, indent=2)}
 ```
 """
     with open(os.path.join(REPO, "BENCH", "STAGES.md"), "w") as f:

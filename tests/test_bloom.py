@@ -92,18 +92,24 @@ def test_bloom_e2e_crawl_equivalence_and_healing(spark, tmp_path):
     seeds = [s["seed_url"] for s in gen_seeds(spec)]
 
     roots, seen_sets = {}, {}
-    for flag in (True, False):
-        root = os.path.join(str(tmp_path), f"snap_{flag}")
-        cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
-                          seen_buckets=8, bloom_prefilter=flag,
-                          bloom_m_bits=1 << 12)
-        catalog = crawl(spark, web, seeds, root, cfg)
-        roots[flag] = catalog
-        seen_sets[flag] = {
-            (r["url"], r["round"], r["depth"])
-            for r in seen_all(spark, catalog).collect()
-        }
-    assert seen_sets[True] == seen_sets[False] and seen_sets[True]
+    # both seen-dedup branches: forced-bucketed (max_frontier=0) and
+    # the broadcast branch (r5: bloom routes there too)
+    for branch_max in (0, 2_000_000):
+        for flag in (True, False):
+            root = os.path.join(str(tmp_path), f"snap_{branch_max}_{flag}")
+            cfg = CrawlConfig(max_depth=3,
+                              broadcast_dedup_max_frontier=branch_max,
+                              seen_buckets=8, bloom_prefilter=flag,
+                              bloom_m_bits=1 << 12)
+            catalog = crawl(spark, web, seeds, root, cfg)
+            roots[flag] = catalog if branch_max == 0 else roots.get(flag)
+            seen_sets[(branch_max, flag)] = {
+                (r["url"], r["round"], r["depth"])
+                for r in seen_all(spark, catalog).collect()
+            }
+    ref = seen_sets[(0, True)]
+    assert ref
+    assert all(s == ref for s in seen_sets.values())
 
     cat = roots[True]
     blooms = cat.committed_rounds(B.BLOOM_TABLE)
@@ -121,6 +127,59 @@ def test_bloom_e2e_crawl_equivalence_and_healing(spark, tmp_path):
     healed_df = _ensure_bloom(spark, cat, cfg, blooms[-1])
     healed = {r["bucket"]: list(r["words"]) for r in healed_df.collect()}
     assert healed == before
+
+
+def test_bloom_param_drift_rebuilds_not_merges(spark, tmp_path):
+    """Resuming with changed bloom params must DISCARD the committed
+    filter and rebuild from frontier history (r4 advice): OR-merging
+    snapshots built under different (m_bits, k) yields false negatives
+    — NULL-padded zip_with words, probes of never-set bits — which
+    would silently break seen-set exactness."""
+    from doccrawler_spark.crawl import CrawlConfig, _ensure_bloom, crawl
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    root = os.path.join(str(tmp_path), "snap")
+    cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                      seen_buckets=8, bloom_m_bits=1 << 12, bloom_k=6)
+    cat = crawl(spark, web, seeds, root, cfg)
+    last = cat.committed_rounds(B.BLOOM_TABLE)[-1]
+
+    # resume with different m_bits/k: the healed filter must be the
+    # bit-exact BULK build at the NEW params, not a corrupt merge
+    cfg2 = CrawlConfig(broadcast_dedup_max_frontier=0, seen_buckets=8,
+                      bloom_m_bits=1 << 10, bloom_k=4)
+    healed = _ensure_bloom(spark, cat, cfg2, last)
+    row = healed.limit(1).collect()[0]
+    assert row["m_bits"] == 1 << 10 and row["k"] == 4
+    from doccrawler_spark.crawl import seen_all
+
+    seen_urls = seen_all(spark, cat).select("url").distinct()
+    bulk = {r["bucket"]: list(r["words"])
+            for r in B.bloom_delta(seen_urls, 8, 1 << 10, 4).collect()}
+    got = {r["bucket"]: list(r["words"]) for r in healed.collect()}
+    assert got == bulk
+    # no false negatives under the rebuilt filter (exactness intact)
+    assert {
+        r["url"] for r in B.prefilter_new(
+            seen_urls, healed, seen_urls, 8, 1 << 10, 4).collect()
+    } == set()
+
+    # a pre-fmt snapshot (no param columns) is also rebuilt, not merged
+    # (materialized driver-side first: writing a plan back onto the
+    # parquet files it reads self-destructs under mode=overwrite)
+    legacy = spark.createDataFrame(
+        [(r["bucket"], list(r["words"])) for r in healed.collect()],
+        "bucket int, words array<bigint>",
+    )
+    cat.write(legacy, B.BLOOM_TABLE, last)
+    healed2 = _ensure_bloom(spark, cat, cfg2, last)
+    assert {r["bucket"]: list(r["words"]) for r in healed2.collect()} == bulk
 
 
 def test_bloom_prefilter_exact_hypothesis(spark):

@@ -1,0 +1,128 @@
+"""The fetch interface (S3): table-join and HTTP implementations must
+serve the same FETCH_SCHEMA contract — one row per input url, misses
+as NULL-html error rows (the S8 shape), never task failures.
+
+The HTTP tests run against an in-process ``http.server`` on
+127.0.0.1 (sandbox-legal: executor Python workers share the host, so
+the loopback server is reachable from inside mapInPandas tasks)."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _page_body(i: int) -> bytes:
+    return (
+        f"<html><head><title>p{i}</title></head>"
+        f"<body><p>deterministic body {i}</p></body></html>"
+    ).encode()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if self.path.startswith("/page/"):
+            body = _page_body(int(self.path.rsplit("/", 1)[1]))
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_error(404)
+
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture(scope="module")
+def http_base():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_fetcher_contract(spark, http_base):
+    from doccrawler_spark.fetch import (
+        HttpFetchConfig,
+        http_fetcher,
+        split_fetched,
+    )
+
+    urls = [f"{http_base}/page/{i}" for i in range(10)]
+    urls.append(f"{http_base}/missing")          # HTTP 404
+    urls.append("http://127.0.0.1:1/refused")    # transport failure
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    fetch = http_fetcher(HttpFetchConfig(
+        backend="urllib", concurrency=8, timeout_s=5, retries=0,
+    ))
+    rows = {r["url"]: r for r in fetch(df).collect()}
+
+    assert set(rows) == set(urls)  # one row per input url
+    for i in range(10):
+        r = rows[f"{http_base}/page/{i}"]
+        assert bytes(r["html"]) == _page_body(i)
+        assert r["status"] == 200 and r["error"] is None
+        assert r["elapsed_ms"] >= 0.0
+    miss = rows[f"{http_base}/missing"]
+    assert miss["html"] is None and miss["status"] == 404
+    assert "404" in miss["error"]
+    refused = rows["http://127.0.0.1:1/refused"]
+    assert refused["html"] is None and refused["status"] is None
+    assert refused["error"]
+
+    pages, errors = split_fetched(fetch(df))
+    assert pages.count() == 10
+    err_rows = {r["url"] for r in errors.collect()}
+    assert err_rows == {f"{http_base}/missing",
+                        "http://127.0.0.1:1/refused"}
+
+
+def test_http_fetcher_oversize_truncated(spark, http_base):
+    """max_bytes truncates, never fails: a page bigger than the cap
+    comes back as its first max_bytes bytes with status 200."""
+    from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+
+    df = spark.createDataFrame([(f"{http_base}/page/3",)], "url string")
+    fetch = http_fetcher(HttpFetchConfig(
+        backend="urllib", max_bytes=10, retries=0,
+    ))
+    r = fetch(df).collect()[0]
+    assert bytes(r["html"]) == _page_body(3)[:10]
+    assert r["status"] == 200
+
+
+def test_table_fetcher_same_contract(spark):
+    from doccrawler_spark.fetch import table_fetcher
+
+    web = spark.createDataFrame(
+        [("https://a/1", bytearray(b"<p>one</p>"))], "url string, html binary"
+    )
+    urls = spark.createDataFrame(
+        [("https://a/1",), ("https://a/2",)], "url string"
+    )
+    rows = {r["url"]: r for r in table_fetcher(web)(urls).collect()}
+    assert bytes(rows["https://a/1"]["html"]) == b"<p>one</p>"
+    assert rows["https://a/1"]["status"] == 200
+    assert rows["https://a/2"]["html"] is None
+    assert rows["https://a/2"]["status"] == 404
+    assert rows["https://a/2"]["error"]
+
+
+def test_aiohttp_backend_is_import_gated():
+    """backend='aiohttp' must fail at CONSTRUCTION (driver-side) when
+    aiohttp is absent — not mid-job on the executors."""
+    from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+
+    try:
+        import aiohttp  # noqa: F401
+
+        pytest.skip("aiohttp installed here; gate not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        http_fetcher(HttpFetchConfig(backend="aiohttp"))

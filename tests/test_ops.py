@@ -101,6 +101,31 @@ def test_stop_shingle_cap_prunes_hot_shingles(spark):
     assert len(uncapped) == 15  # all C(6,2) pairs share the hot shingle
 
 
+def test_pair_budget_guard_bounds_join_fanout(spark):
+    """The pair-budget guard fails FAST with the measured blast radius
+    when surviving shingles would fan out past the budget — instead of
+    launching a single-task quadratic join — and is exact: a budget of
+    exactly C(n,2) per hot shingle passes."""
+    import pytest as _pytest
+
+    from doccrawler_spark.ops.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved"
+    rows = [{"doc_id": i, "text": f"{boiler} unique{i} alpha{i} beta{i}",
+             "lang": "en", "source": "s", "n_chars": 40} for i in range(6)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    # 6 docs share the hot shingle → C(6,2)=15 join rows from that key
+    with _pytest.raises(ValueError, match="minhash_verified"):
+        ngram_jaccard_pairs(docs, n=3, threshold=0.01, pair_budget=14)
+    got = ngram_jaccard_pairs(docs, n=3, threshold=0.01,
+                              pair_budget=15).collect()
+    assert len(got) == 15
+    # the max_df prune runs BEFORE the budget check: capped-out hot
+    # shingles don't count against the budget
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=3,
+                               pair_budget=0).collect() == []
+
+
 def test_minhash_verified_rescore(spark, docs):
     """LSH candidates re-scored with EXACT Jaccard: exact scores (not
     estimates) and sub-threshold candidates dropped."""
@@ -300,6 +325,141 @@ def test_knn_join_matches_bruteforce_within_candidates(spark):
     for pair, (rank, c) in expected32.items():
         assert got[pair][0] == rank, pair
         assert abs(got[pair][1] - c) < 1e-5, pair
+
+
+def test_knn_join_indexed_matches_and_prunes(spark, tmp_path):
+    """knn_join_indexed over a write_lsh_index layout must (a) return
+    results IDENTICAL to inline knn_join at the layout's (n_bits,
+    n_tables) — the layout join IS the banding — and (b) scan only the
+    bucket dirs the query batch probes, not the full layout."""
+    import random
+
+    from doccrawler_spark.ops.similarity import (
+        knn_join,
+        knn_join_indexed,
+        write_lsh_index,
+    )
+
+    rng = random.Random(7)
+    dim, n_bits, n_tables, k = 8, 2, 3, 3
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+         for i in range(4)],
+        "q_id long, q_emb array<float>",
+    )
+    d = str(tmp_path / "knn_lsh_idx")
+    write_lsh_index(emb, d, n_bits=n_bits, n_tables=n_tables)
+
+    def rows_of(df):
+        return [(r["q_id"], r["vec_id"], r["rank"], r["cosine"])
+                for r in df.orderBy("q_id", "vec_id").collect()]
+
+    base = rows_of(knn_join(emb, qdf, k=k, n_bits=n_bits,
+                            n_tables=n_tables))
+    for salted in (None, True, False):
+        idx = knn_join_indexed(spark, d, qdf, k=k, salted=salted)
+        assert rows_of(idx) == base, f"salted={salted}"
+    # pruning: the pruned read's file index holds only probed dirs —
+    # ≤ n_tables·|distinct probed keys| of the n_tables·2^n_bits layout
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        idx = knn_join_indexed(spark, d, qdf, k=k)
+        idx.explain("formatted")
+        idx.explain()  # simple mode prints InMemoryFileIndex(N paths)
+    p = buf.getvalue()
+    assert "PartitionFilters: [" in p
+    import re
+
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", p)
+    assert m and int(m.group(1)) <= n_tables * (2 ** n_bits)
+    n_dirs = sum(
+        1 for band in (tmp_path / "knn_lsh_idx").iterdir()
+        if band.is_dir() for _ in band.iterdir()
+    )
+    assert int(m.group(1)) < n_dirs  # strictly fewer than the layout
+
+
+def test_compact_index_preserves_results_and_merges_files(spark, tmp_path):
+    """compact_index rewrites a fragmented layout into one-big-file
+    partition dirs (small-file compaction) without changing any query
+    result — same meta, same rows, fewer files."""
+    import os
+    import random
+    import shutil
+
+    from doccrawler_spark.ops.similarity import (
+        compact_index,
+        ivf_topk_indexed,
+        kmeans_centroids,
+        write_ivf_index,
+    )
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)], f"l{i % 2}")
+         for i in range(300)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    cents = kmeans_centroids(emb, n_cells=4, sample=64)
+    clean = str(tmp_path / "clean")
+    write_ivf_index(emb, clean, centroids=cents)
+    qv = [rng.uniform(-1, 1) for _ in range(8)]
+    want = [(r["vec_id"], r["cosine"]) for r in
+            ivf_topk_indexed(spark, clean, qv, k=10).collect()]
+
+    # fragment: rewrite the same rows with 12 non-aligned tasks → up to
+    # 12 files per cell dir (what repeated small appends produce)
+    frag = str(tmp_path / "frag")
+    df = spark.read.option("basePath", clean).parquet(clean)
+    (df.repartition(12).write.mode("overwrite")
+       .partitionBy("cell").parquet(frag))
+    shutil.copyfile(os.path.join(clean, "_index_meta.json"),
+                    os.path.join(frag, "_index_meta.json"))
+
+    def files_per_dir(p):
+        return {
+            d.name: sum(1 for f in os.scandir(d.path)
+                        if f.name.endswith(".parquet"))
+            for d in os.scandir(p) if d.is_dir()
+        }
+
+    assert max(files_per_dir(frag).values()) > 1
+    stats = compact_index(spark, frag)
+    assert stats["files_after"] < stats["files_before"]
+    assert max(files_per_dir(frag).values()) == 1
+    got = [(r["vec_id"], r["cosine"]) for r in
+           ivf_topk_indexed(spark, frag, qv, k=10).collect()]
+    assert got == want
+
+
+def test_knn_join_indexed_no_matching_bucket(spark, tmp_path):
+    """A query batch probing only buckets no corpus vector occupies
+    returns an empty frame with the knn_join schema (the None branch
+    of _read_partitions)."""
+    from doccrawler_spark.ops.similarity import (
+        knn_join_indexed,
+        write_lsh_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    d = str(tmp_path / "pos_idx")
+    write_lsh_index(emb, d, n_bits=2, n_tables=2)
+    qdf = spark.createDataFrame(
+        [(0, [-1.0] * 8)], "q_id long, q_emb array<float>"
+    )
+    out = knn_join_indexed(spark, d, qdf, k=3)
+    assert out.columns == ["q_id", "vec_id", "rank", "cosine"]
+    assert out.count() == 0
 
 
 def test_lsh_topk_multi_table_recall(spark):
