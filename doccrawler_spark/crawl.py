@@ -101,6 +101,15 @@ class CrawlConfig:
     # probe relation is snapshotted instead of collected (10^6+-seed
     # crawls never materialize on the driver)
     seed_collect_max: int = 10_000
+    # pluggable page fetcher (the S3 seam, doccrawler_spark/fetch.py):
+    # None = the sandbox's no-network equi-join against ``web_pages``;
+    # any fetch.Fetcher (e.g. ``fetch.http_fetcher()`` for real
+    # deployment) is handed the URL sets of BOTH the seed probes and
+    # every round's frontier and must return FETCH_SCHEMA rows —
+    # misses (html IS NULL) vanish exactly like join misses and are
+    # recovered by the snapshot-derived S8 errors sink.  With a
+    # fetcher set, ``web_pages`` may be None.
+    fetcher: "object | None" = None
 
 
 def _with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -204,7 +213,27 @@ def seed_round(
         )).alias("url")
     ).distinct()
 
-    if n_seeds <= cfg.seed_collect_max:
+    if cfg.fetcher is not None:
+        # pluggable fetch (real HTTP in deployment): same URL set, same
+        # hit shape; misses (html IS NULL) drop exactly like join
+        # misses.  Small seed sets keep the driver-local-relation
+        # semantics of the point-lookup path; big ones snapshot.
+        fetched_probes = (
+            cfg.fetcher(probe_urls_df)
+            .filter(F.col("html").isNotNull())
+            .select("url", "html")
+        )
+        if n_seeds <= cfg.seed_collect_max:
+            probe_rows = fetched_probes.collect()
+            probe_pages = spark.createDataFrame(
+                probe_rows or [], "url string, html binary"
+            )
+            maybe_bc = F.broadcast
+        else:
+            catalog.write(fetched_probes, "seed_probes", 0)
+            probe_pages = catalog.read(spark, "seed_probes", 0)
+            maybe_bc = lambda df: df
+    elif n_seeds <= cfg.seed_collect_max:
         # point-lookup path: a static IN-list filter Catalyst pushes
         # into the parquet scan as row-group-prunable predicates (no
         # join, no full decode); the ≤4·|seeds| surviving rows live in
@@ -465,14 +494,24 @@ def run_round(
     # needed columns from that parquet.  A .persist() here would hold
     # gigabytes of deserialized text on the JVM heap and stall in GC —
     # columnar re-reads are strictly cheaper.
-    corpus = web_pages.select("url", "html")
     frontier_size = state.get("frontier_size") or 0
-    if 0 < frontier_size <= cfg.point_lookup_max_frontier:
-        # point-lookup fetch: push the round's URL list into the scan
-        # as an IN filter so parquet row-group stats prune the corpus
-        # (decodes only the row groups actually containing the URLs)
-        fetch_urls = [r["url"] for r in fetch_now.select("url").collect()]
-        corpus = corpus.filter(F.col("url").isin(fetch_urls))
+    if cfg.fetcher is not None:
+        # pluggable fetch (S3 seam): the fetcher is handed exactly this
+        # round's URL set and its hits join back to the frontier rows
+        # below — identical downstream plan, misses vanish identically
+        corpus = (
+            cfg.fetcher(fetch_now.select("url"))
+            .filter(F.col("html").isNotNull())
+            .select("url", "html")
+        )
+    else:
+        corpus = web_pages.select("url", "html")
+        if 0 < frontier_size <= cfg.point_lookup_max_frontier:
+            # point-lookup fetch: push the round's URL list into the
+            # scan as an IN filter so parquet row-group stats prune the
+            # corpus (decodes only the row groups containing the URLs)
+            fetch_urls = [r["url"] for r in fetch_now.select("url").collect()]
+            corpus = corpus.filter(F.col("url").isin(fetch_urls))
     fetched = (
         fetch_now.join(corpus, "url", "inner")
         .withColumn("page", Fx.extract_page_udf(F.col("html")))

@@ -113,6 +113,105 @@ def test_table_fetcher_same_contract(spark):
     assert rows["https://a/2"]["error"]
 
 
+def _tiny_web(spark):
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    pdf = web_pages_pandas(spec)
+    web = spark.createDataFrame(
+        pdf,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    return web, seeds, {r.url: bytes(r.html) for r in pdf.itertuples()}
+
+
+def _crawl_seen(spark, web, seeds, root, **cfg_kw):
+    from doccrawler_spark.crawl import CrawlConfig, crawl, seen_all
+
+    cat = crawl(spark, web, seeds, root, CrawlConfig(max_depth=3, **cfg_kw))
+    return {
+        (r["url"], r["round"], r["depth"])
+        for r in seen_all(spark, cat).collect()
+    }
+
+
+def test_crawl_with_table_fetcher_equals_default(spark, tmp_path):
+    """The fetcher seam must be invisible: a crawl through
+    cfg.fetcher=table_fetcher(web) produces the identical seen set to
+    the inlined fetch join."""
+    from doccrawler_spark.fetch import table_fetcher
+
+    web, seeds, _ = _tiny_web(spark)
+    base = _crawl_seen(spark, web, seeds, str(tmp_path / "default"))
+    via = _crawl_seen(spark, web, seeds, str(tmp_path / "fetcher"),
+                      fetcher=table_fetcher(web))
+    assert base and via == base
+
+
+def test_crawl_over_real_http(spark, tmp_path, http_base):
+    """Deployment-shape e2e: the SAME tiny web served by a real HTTP
+    server, crawled through http_fetcher (mapInPandas, loopback) with
+    web_pages=None — identical seen set to the no-network join crawl.
+    URLs are tunneled as hex so the synthetic https://… authority maps
+    onto the loopback server without DNS."""
+    from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+
+    web, seeds, page_map = _tiny_web(spark)
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        type("H", (BaseHTTPRequestHandler,), {
+            "do_GET": lambda self: _serve_mapped(self, page_map),
+            "log_message": lambda self, *a: None,
+        }),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base_url = f"http://127.0.0.1:{srv.server_address[1]}"
+        inner = http_fetcher(HttpFetchConfig(
+            backend="urllib", concurrency=16, timeout_s=10, retries=1,
+        ))
+
+        def rewriting_fetcher(urls):
+            mapped = urls.select(
+                F.col("url").alias("orig"),
+                F.concat(
+                    F.lit(base_url + "/u/"),
+                    F.hex(F.encode(F.col("url"), "utf-8")),
+                ).alias("url"),
+            )
+            got = inner(mapped.select("url"))
+            return mapped.join(got, "url").select(
+                F.col("orig").alias("url"),
+                "html", "status", "error", "elapsed_ms",
+            )
+
+        expect = _crawl_seen(spark, web, seeds, str(tmp_path / "join"))
+        got = _crawl_seen(spark, None, seeds, str(tmp_path / "http"),
+                          fetcher=rewriting_fetcher)
+        assert expect and got == expect
+    finally:
+        srv.shutdown()
+
+
+def _serve_mapped(handler, page_map):
+    if handler.path.startswith("/u/"):
+        try:
+            url = bytes.fromhex(handler.path[3:]).decode()
+        except ValueError:
+            handler.send_error(400)
+            return
+        body = page_map.get(url)
+        if body is not None:
+            handler.send_response(200)
+            handler.send_header("Content-Length", str(len(body)))
+            handler.end_headers()
+            handler.wfile.write(body)
+            return
+    handler.send_error(404)
+
+
 def test_aiohttp_backend_is_import_gated():
     """backend='aiohttp' must fail at CONSTRUCTION (driver-side) when
     aiohttp is absent — not mid-job on the executors."""
