@@ -77,7 +77,7 @@ def _q_crawl_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = crawl(
         spark, web, seeds, root,
         CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
-                    seen_buckets=8),
+                    seen_buckets=8, bloom_min_seen=0),
     )
     return crawled_all(spark, catalog).orderBy("priority").select(
         "url", "site_id", "depth", "round", "priority",

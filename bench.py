@@ -75,6 +75,9 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
         # BENCH_NO_ERRORS=1 disables the S8 error sink (A/B probe for
         # its per-round cost; the default bench keeps it on — honest)
         track_errors=not os.environ.get("BENCH_NO_ERRORS"),
+        # BENCH_NO_BLOOM=1 disables the Bloom prefilter (A/B probe for
+        # the r5 broadcast-branch routing's per-round build cost)
+        bloom_prefilter=not os.environ.get("BENCH_NO_BLOOM"),
     )
     # the host shows bursty CPU steal (up to 10x on identical jobs) —
     # run the crawl up to BENCH_CRAWL_REPEATS times and report the best

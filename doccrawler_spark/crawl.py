@@ -88,6 +88,13 @@ class CrawlConfig:
     bloom_prefilter: bool = True
     bloom_m_bits: int = 1 << 16
     bloom_k: int = 6
+    # seen-set size below which the Bloom prefilter stays dormant:
+    # the per-round delta-build + snapshot commit measured ~7% of a
+    # small-corpus round (240k-URL seen set, r5 A/B) while routing
+    # buys nothing until the exact check is expensive — the same
+    # stats-gate family as knn_join's salted windows.  At 10^6+ seen
+    # URLs the filter engages automatically; tests force 0.
+    bloom_min_seen: int = 1_000_000
     # frontier-size cutoff below which fetch uses an IN-list point
     # lookup (parquet row-group stats pruning — the CDX-index pattern:
     # a 12-URL round must not decode the whole corpus) instead of
@@ -352,7 +359,10 @@ def seed_round(
 
     n_frontier = catalog.count("frontier", 0)
     state = {"next_priority": n_frontier, "round": 0,
-             "done": n_frontier == 0, "frontier_size": n_frontier}
+             "done": n_frontier == 0, "frontier_size": n_frontier,
+             # cumulative is_new URLs — drives the bloom_min_seen gate
+             "seen_size": catalog.count_true("frontier", 0, "is_new",
+                                             spark=spark)}
     catalog.write_state(0, state)
     return state
 
@@ -637,6 +647,16 @@ def run_round(
         # ---- global seen-set anti-join (F8).  Only rounds strictly
         # before this one — a partially-committed attempt of THIS
         # round must not dedup against itself on resume.
+        # Bloom gate: cumulative seen size from state (falls back to
+        # parquet-footer sums for pre-r5 resumes — no Spark job)
+        seen_size = state.get("seen_size")
+        if seen_size is None:
+            seen_size = sum(
+                catalog.count_true("frontier", r, "is_new", spark=spark)
+                for r in catalog.committed_rounds("frontier")
+                if r < round_
+            )
+        use_bloom = cfg.bloom_prefilter and seen_size >= cfg.bloom_min_seen
         if frontier_size < cfg.broadcast_dedup_max_frontier:
             # Bloom-prefiltered dedup: the seen-set (which grows every
             # round) is NEVER shuffled — it is scanned once (url column
@@ -663,7 +683,7 @@ def run_round(
             # the seen side is still never shuffled.
             bloom_df = (
                 _ensure_bloom(spark, catalog, cfg, round_ - 1)
-                if cfg.bloom_prefilter else None
+                if use_bloom else None
             )
             if bloom_df is not None:
                 from . import bloom as B
@@ -690,7 +710,7 @@ def run_round(
             seen_tbl = _ensure_seen_table(spark, catalog, cfg, round_ - 1)
             bloom_df = (
                 _ensure_bloom(spark, catalog, cfg, round_ - 1)
-                if cfg.bloom_prefilter else None
+                if use_bloom else None
             )
             if bloom_df is not None:
                 # Bloom split (bloom.py): definitely-new candidates
@@ -786,6 +806,7 @@ def run_round(
             "round": round_,
             "done": n_next == 0,
             "frontier_size": n_next,
+            "seen_size": seen_size + n_new,
             # surfaced error count (parquet-footer read, no Spark job)
             "n_errors": (
                 catalog.count("errors", round_) if cfg.track_errors else None

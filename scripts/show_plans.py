@@ -238,7 +238,8 @@ def main() -> None:
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     # 9. partitioned Bloom seen-prefilter (north_rule bloom/cuckoo):
-    # the crawl above committed per-round bloom snapshots; the split
+    # _ensure_bloom heals the filter from the crawl's frontier history
+    # (the tiny crawl itself stays under bloom_min_seen); the split
     # plan must broadcast the (tiny, committed) bloom table, keep the
     # bit probe in codegen, and send ONLY the maybe-seen branch into
     # the exact LeftAnti against the seen table

@@ -100,7 +100,7 @@ def test_bloom_e2e_crawl_equivalence_and_healing(spark, tmp_path):
             cfg = CrawlConfig(max_depth=3,
                               broadcast_dedup_max_frontier=branch_max,
                               seen_buckets=8, bloom_prefilter=flag,
-                              bloom_m_bits=1 << 12)
+                              bloom_m_bits=1 << 12, bloom_min_seen=0)
             catalog = crawl(spark, web, seeds, root, cfg)
             roots[flag] = catalog if branch_max == 0 else roots.get(flag)
             seen_sets[(branch_max, flag)] = {
@@ -123,10 +123,33 @@ def test_bloom_e2e_crawl_equivalence_and_healing(spark, tmp_path):
 
     shutil.rmtree(os.path.join(cat.root, B.BLOOM_TABLE))
     cfg = CrawlConfig(broadcast_dedup_max_frontier=0, seen_buckets=8,
-                      bloom_m_bits=1 << 12)
+                      bloom_m_bits=1 << 12, bloom_min_seen=0)
     healed_df = _ensure_bloom(spark, cat, cfg, blooms[-1])
     healed = {r["bucket"]: list(r["words"]) for r in healed_df.collect()}
     assert healed == before
+
+
+def test_bloom_min_seen_gate_keeps_filter_dormant(spark, tmp_path):
+    """Below bloom_min_seen the prefilter must not build at all (its
+    per-round delta+commit measured ~7% of a small round for zero
+    routing benefit): a tiny crawl at the 1M default commits NO bloom
+    snapshots, while the result stays identical to the forced-bloom
+    crawl (the gate is pure cost control, never semantics)."""
+    from doccrawler_spark.crawl import CrawlConfig, crawl, seen_all
+
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                      seen_buckets=8, bloom_m_bits=1 << 12)  # default gate
+    cat = crawl(spark, web, seeds, os.path.join(str(tmp_path), "s"), cfg)
+    assert cat.committed_rounds(B.BLOOM_TABLE) == []
+    assert seen_all(spark, cat).count() > 0
 
 
 def test_bloom_param_drift_rebuilds_not_merges(spark, tmp_path):
@@ -146,14 +169,15 @@ def test_bloom_param_drift_rebuilds_not_merges(spark, tmp_path):
     seeds = [s["seed_url"] for s in gen_seeds(spec)]
     root = os.path.join(str(tmp_path), "snap")
     cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
-                      seen_buckets=8, bloom_m_bits=1 << 12, bloom_k=6)
+                      seen_buckets=8, bloom_m_bits=1 << 12, bloom_k=6,
+                      bloom_min_seen=0)
     cat = crawl(spark, web, seeds, root, cfg)
     last = cat.committed_rounds(B.BLOOM_TABLE)[-1]
 
     # resume with different m_bits/k: the healed filter must be the
     # bit-exact BULK build at the NEW params, not a corrupt merge
     cfg2 = CrawlConfig(broadcast_dedup_max_frontier=0, seen_buckets=8,
-                      bloom_m_bits=1 << 10, bloom_k=4)
+                      bloom_m_bits=1 << 10, bloom_k=4, bloom_min_seen=0)
     healed = _ensure_bloom(spark, cat, cfg2, last)
     row = healed.limit(1).collect()[0]
     assert row["m_bits"] == 1 << 10 and row["k"] == 4
