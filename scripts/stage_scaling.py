@@ -150,13 +150,16 @@ print("STAGEJSON " + json.dumps(out))
 
 
 def code_stamp() -> str:
-    """Identity of the operator code the numbers were measured on:
-    git HEAD (+dirty marker when the working tree differs) — the
-    --merge-prior key, so stale minima from older code can never mask
-    a regression in the regenerated artifact."""
+    """Identity of the operator code the numbers were measured on: the
+    last commit TOUCHING the code dirs (+dirty marker when their
+    working tree differs) — the --merge-prior key, so stale minima
+    from older operator code can never mask a regression, while
+    artifact-only commits (BENCH/*.md refreshes) don't needlessly
+    invalidate a same-code merge."""
     try:
         head = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            ["git", "log", "-1", "--format=%h", "--",
+             "doccrawler_spark", "scripts", "bench.py"], cwd=REPO,
             capture_output=True, text=True, timeout=30,
         ).stdout.strip() or "unknown"
         dirty = subprocess.run(
