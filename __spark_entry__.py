@@ -157,7 +157,7 @@ def _q_ivf_topk(spark, sf_dir):
 
 # bump when the index layout/quantizer logic changes — invalidates the
 # per-(input, params) on-disk index cache below
-_ANN_IDX_VERSION = "r4b"
+_ANN_IDX_VERSION = "r6"  # bumped: versioned-pointer index layout
 
 
 def _ann_index_dir(sf_dir: str, kind: str, tag: str) -> str:
@@ -194,16 +194,29 @@ def _ensure_index(d: str, build) -> None:
     builder is success."""
     import shutil
 
-    if os.path.exists(os.path.join(d, "_index_meta.json")):
+    from doccrawler_spark.ops.similarity import index_exists
+
+    if index_exists(d):
         return
     os.makedirs(os.path.dirname(d), exist_ok=True)
+    # heal a torn cache entry (crash mid-build under old code): a dir
+    # at d with no resolvable committed layout would otherwise make
+    # the rename below fail with ENOTEMPTY forever
+    if os.path.isdir(d):
+        shutil.rmtree(d, ignore_errors=True)
     tmp = f"{d}.build.{os.getpid()}"
     try:
         build(tmp)
+    except BaseException:
+        # ANY build failure (Py4J/AnalysisException included, not just
+        # OSError) must not strand the tmp dir in the shared cache
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
         os.rename(tmp, d)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(os.path.join(d, "_index_meta.json")):
+        if not index_exists(d):
             raise
 
 

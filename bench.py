@@ -78,6 +78,11 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
         # BENCH_NO_BLOOM=1 disables the Bloom prefilter (A/B probe for
         # the r5 broadcast-branch routing's per-round build cost)
         bloom_prefilter=not os.environ.get("BENCH_NO_BLOOM"),
+        # BENCH_BLOOM_FORCE=1 drops the cost gate so the Bloom path
+        # actually engages at bench scale (~240k seen, below the 1M
+        # production gate) — the meaningful A/B pair is FORCE vs
+        # default (r5's NO_BLOOM-vs-default compared two dormant arms)
+        bloom_min_seen=0 if os.environ.get("BENCH_BLOOM_FORCE") else 1_000_000,
     )
     # the host shows bursty CPU steal (up to 10x on identical jobs) —
     # run the crawl up to BENCH_CRAWL_REPEATS times and report the best

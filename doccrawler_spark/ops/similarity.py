@@ -244,10 +244,122 @@ def _write_index_meta(path: str, meta: dict) -> None:
     os.replace(tmp, final)
 
 
+# ---- versioned layout protocol (r6) --------------------------------
+#
+# An index root holds immutable version directories ``vNNNNNN/`` (each
+# a complete Hive-partitioned layout + its ``_index_meta.json``) and a
+# ``_current`` pointer file naming the committed one.  Publication is
+# ONE atomic single-file replace — the same shape as the snapshot
+# manifest protocol (snapshots.py) and, unlike a directory rename, a
+# primitive object stores actually have (a single-key PUT).  At no
+# point does the live path stop resolving: a crash mid-build strands
+# only an uncommitted vNNNNNN dir (vacuumed by the next successful
+# commit), and a reader that resolved the previous pointer keeps a
+# complete layout because vacuum always spares the prior version.
+# Roots written by pre-r6 code (flat layout, meta at the root) still
+# resolve via the legacy fallback.
+
+_VERSION_RE = r"v\d{6}"
+
+
+def _resolve_index_dir(path: str) -> str:
+    """The committed layout directory for an index root: the
+    ``_current``-pointed version dir, else the root itself for a
+    legacy flat layout, else FileNotFoundError."""
+    import os
+
+    ptr = os.path.join(path, "_current")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(path, f.read().strip())
+    if os.path.exists(_index_meta_path(path)):
+        return path
+    raise FileNotFoundError(f"no committed index layout at {path}")
+
+
+def index_exists(path: str) -> bool:
+    try:
+        _resolve_index_dir(path)
+        return True
+    except (FileNotFoundError, OSError):
+        return False
+
+
+def _new_version_dir(path: str) -> tuple[str, str]:
+    """Claim the next ``vNNNNNN`` build directory under the root
+    (mkdir is the claim — a concurrent builder colliding on the same
+    number just bumps past it)."""
+    import os
+    import re
+
+    os.makedirs(path, exist_ok=True)
+    taken = [int(d[1:]) for d in os.listdir(path)
+             if re.fullmatch(_VERSION_RE, d)]
+    n = max(taken, default=0) + 1
+    while True:
+        vname = f"v{n:06d}"
+        try:
+            os.makedirs(os.path.join(path, vname), exist_ok=False)
+            return os.path.join(path, vname), vname
+        except FileExistsError:
+            n += 1
+
+
+def _commit_index_version(path: str, vname: str) -> None:
+    import os
+
+    ptr = os.path.join(path, "_current")
+    tmp = ptr + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(vname)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
+
+
+def _vacuum_index(path: str, keep: set[str]) -> None:
+    """Drop version dirs outside ``keep`` plus any legacy flat-layout
+    artifacts at the root (a pointer now owns resolution, so the flat
+    files are dead weight the next compaction would double-count)."""
+    import os
+    import re
+    import shutil
+
+    for d in os.listdir(path):
+        p = os.path.join(path, d)
+        if re.fullmatch(_VERSION_RE, d):
+            if d not in keep:
+                shutil.rmtree(p, ignore_errors=True)
+        elif os.path.isdir(p) and "=" in d:  # legacy flat partition dir
+            shutil.rmtree(p, ignore_errors=True)
+    for f in ("_index_meta.json", "_SUCCESS"):
+        try:
+            os.remove(os.path.join(path, f))
+        except OSError:
+            pass
+
+
+def _publish_index_version(path: str, vname: str) -> None:
+    """Commit ``vname`` as the live layout, then vacuum everything but
+    it and the previously-committed version (still potentially mid-scan
+    in a concurrent reader)."""
+    import os
+
+    try:
+        prev = os.path.basename(_resolve_index_dir(path))
+    except (FileNotFoundError, OSError):
+        prev = None
+    _commit_index_version(path, vname)
+    keep = {vname}
+    if prev is not None and prev != os.path.basename(path):
+        keep.add(prev)
+    _vacuum_index(path, keep)
+
+
 def _read_index_meta(path: str) -> dict:
     import json
 
-    with open(_index_meta_path(path)) as f:
+    with open(_index_meta_path(_resolve_index_dir(path))) as f:
         return json.load(f)
 
 
@@ -276,11 +388,13 @@ def write_ivf_index(
     # files from ONE task instead of one file per (task × cell) — at
     # small scale that's the difference between n_cells files and a
     # small-file explosion; at 100 TB it's the writer-sizing knob
+    vdir, vname = _new_version_dir(path)
     (
         celled.repartition("cell")
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
+        .write.mode("overwrite").partitionBy("cell").parquet(vdir)
     )
-    _write_index_meta(path, {"kind": "ivf", "centroids": cents})
+    _write_index_meta(vdir, {"kind": "ivf", "centroids": cents})
+    _publish_index_version(path, vname)
 
 
 def _read_partitions(spark, path: str, subdirs: list[str]):
@@ -293,16 +407,25 @@ def _read_partitions(spark, path: str, subdirs: list[str]):
     objects on S3 it would be the whole query).  Missing directories
     (empty buckets) are skipped driver-side — the same existence
     check an object-store deployment does with one LIST per probed
-    prefix."""
+    prefix.  ``path`` is the index ROOT — the committed version dir is
+    resolved here (one pointer read), so callers stay version-blind."""
     import os
 
+    base = _resolve_index_dir(path)
     existing = [
-        os.path.join(path, d) for d in subdirs
-        if os.path.isdir(os.path.join(path, d))
+        os.path.join(base, d) for d in subdirs
+        if os.path.isdir(os.path.join(base, d))
     ]
     if not existing:
         return None
-    return spark.read.option("basePath", path).parquet(*existing)
+    return spark.read.option("basePath", base).parquet(*existing)
+
+
+def _read_index_empty(spark, path: str) -> DataFrame:
+    """A zero-row frame with the committed layout's full schema
+    (partition columns included) — the no-probed-bucket fallback."""
+    base = _resolve_index_dir(path)
+    return spark.read.option("basePath", base).parquet(base).limit(0)
 
 
 def ivf_topk_indexed(
@@ -321,8 +444,8 @@ def ivf_topk_indexed(
                     key=lambda j: (-qscores[j], j))[:n_probe]
     df = _read_partitions(spark, path, [f"cell={j}" for j in probes])
     if df is None:  # probed cells all empty
-        emp = spark.read.option("basePath", path).parquet(path).limit(0)
-        return cosine_topk(emp.drop("cell"), query_vec, k)
+        return cosine_topk(_read_index_empty(spark, path).drop("cell"),
+                           query_vec, k)
     # belt-and-braces semantic filter (also what PLANS.md asserts as
     # PartitionFilters — the path selection already did the pruning)
     df = df.filter(F.col("cell").isin(probes))
@@ -357,12 +480,14 @@ def write_lsh_index(
     # one writing task per (band, key): without this every input task
     # writes a sliver into every bucket dir it touches — measured 15 s
     # of small-file churn for a 2^8-bucket 4-table layout at sf0.1
+    vdir, vname = _new_version_dir(path)
     (
         banded.repartition("band", "key")
-        .write.mode("overwrite").partitionBy("band", "key").parquet(path)
+        .write.mode("overwrite").partitionBy("band", "key").parquet(vdir)
     )
-    _write_index_meta(path, {"kind": "lsh", "n_bits": n_bits,
+    _write_index_meta(vdir, {"kind": "lsh", "n_bits": n_bits,
                              "n_tables": n_tables})
+    _publish_index_version(path, vname)
 
 
 def lsh_topk_indexed(
@@ -389,7 +514,7 @@ def lsh_topk_indexed(
         spark, path, [f"band={t}/key={qkey(t)}" for t in range(n_eff)]
     )
     if df is None:  # no bucket holds any vector for this query
-        emp = spark.read.option("basePath", path).parquet(path).limit(0)
+        emp = _read_index_empty(spark, path)
         return cosine_topk(
             emp.drop("band", "key").dropDuplicates(["vec_id"]), query_vec, k
         )
@@ -413,14 +538,18 @@ def compact_index(spark, path: str, target_bytes: int = 128 << 20) -> dict:
     request).  Operational target: files within a bucket dir at
     100-500 MB — compact after bulk builds, not per query.
 
-    Atomic: the compacted layout is written beside the live one and
-    swapped in with two renames, so concurrent readers see either the
-    old or the new complete layout (the meta file rides along
-    unchanged — same quantizer/params, same results).  Returns
+    Crash-safe and reader-safe via the versioned-layout protocol: the
+    compacted copy is written as a NEW version dir under the root and
+    published with the single atomic ``_current`` pointer replace —
+    the root never stops resolving, a concurrent reader holding the
+    old version keeps a complete layout (vacuum spares the previous
+    version), and a crash at any point strands at most one uncommitted
+    build dir that the next commit vacuums.  The meta rides along
+    unchanged — same quantizer/params, same results.  Returns
     {files_before, files_after, bytes}."""
     import os
-    import shutil
 
+    base = _resolve_index_dir(path)
     meta = _read_index_meta(path)
     pcols = ["cell"] if meta["kind"] == "ivf" else ["band", "key"]
 
@@ -433,24 +562,24 @@ def compact_index(spark, path: str, target_bytes: int = 128 << 20) -> dict:
                     size += os.path.getsize(os.path.join(root, f))
         return n, size
 
-    files_before, total_bytes = _stats(path)
-    df = spark.read.option("basePath", path).parquet(path)
+    files_before, total_bytes = _stats(base)
+    # read (and list) the live layout BEFORE claiming the build dir —
+    # for a legacy flat root base == path and a later listing would
+    # trip over the new vNNNNNN subdir
+    df = spark.read.option("basePath", base).parquet(base)
     total_rows = df.count()
     avg_row = max(1, total_bytes // max(1, total_rows))
     rpf = max(1, target_bytes // avg_row)
-    tmp = f"{path}.compact.{os.getpid()}"
+    vdir, vname = _new_version_dir(path)
     (
         df.repartition(*pcols)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", rpf)
-        .partitionBy(*pcols).parquet(tmp)
+        .partitionBy(*pcols).parquet(vdir)
     )
-    _write_index_meta(tmp, meta)
-    old = f"{path}.old.{os.getpid()}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-    files_after, _ = _stats(path)
+    _write_index_meta(vdir, meta)
+    _publish_index_version(path, vname)
+    files_after, _ = _stats(vdir)
     return {"files_before": files_before, "files_after": files_after,
             "bytes": total_bytes}
 
@@ -599,7 +728,7 @@ def knn_join_indexed(
     dirs = [f"band={r['band']}/key={r['key']}" for r in keys]
     c = _read_partitions(spark, path, dirs)
     if c is None:  # no probed bucket exists — no candidates at all
-        emp = spark.read.option("basePath", path).parquet(path).limit(0)
+        emp = _read_index_empty(spark, path)
         joined = q.join(emp, ["band", "key"])
         return _knn_rank(joined, k=k, salt=salt, salted=False)
     if salted is None:

@@ -67,8 +67,8 @@ def main() -> None:
                   f"{lo['rounds_sec']}s steady "
                   f"{lo['pages_per_sec_steady']}", flush=True)
             lo_steady = lo["pages_per_sec_steady"] or float("nan")
-            eff = (hi["pages_per_sec_steady"]
-                   / lo_steady) / (args.high / args.low)
+            hi_steady = hi["pages_per_sec_steady"] or float("nan")
+            eff = (hi_steady / lo_steady) / (args.high / args.low)
             print(json.dumps({
                 "paired": True, "low": lo, "high": hi,
                 "efficiency_steady": round(eff, 4),

@@ -379,8 +379,12 @@ def test_knn_join_indexed_matches_and_prunes(spark, tmp_path):
 
     m = re.search(r"InMemoryFileIndex\((\d+) paths\)", p)
     assert m and int(m.group(1)) <= n_tables * (2 ** n_bits)
+    from pathlib import Path
+
+    from doccrawler_spark.ops.similarity import _resolve_index_dir
+
     n_dirs = sum(
-        1 for band in (tmp_path / "knn_lsh_idx").iterdir()
+        1 for band in Path(_resolve_index_dir(d)).iterdir()
         if band.is_dir() for _ in band.iterdir()
     )
     assert int(m.group(1)) < n_dirs  # strictly fewer than the layout
@@ -395,6 +399,7 @@ def test_compact_index_preserves_results_and_merges_files(spark, tmp_path):
     import shutil
 
     from doccrawler_spark.ops.similarity import (
+        _resolve_index_dir,
         compact_index,
         ivf_topk_indexed,
         kmeans_centroids,
@@ -415,12 +420,15 @@ def test_compact_index_preserves_results_and_merges_files(spark, tmp_path):
             ivf_topk_indexed(spark, clean, qv, k=10).collect()]
 
     # fragment: rewrite the same rows with 12 non-aligned tasks → up to
-    # 12 files per cell dir (what repeated small appends produce)
+    # 12 files per cell dir (what repeated small appends produce).
+    # Built as a LEGACY flat layout (data + meta at the root, no
+    # pointer) so this test also pins the pre-r6 back-compat read path.
+    clean_v = _resolve_index_dir(clean)
     frag = str(tmp_path / "frag")
-    df = spark.read.option("basePath", clean).parquet(clean)
+    df = spark.read.option("basePath", clean_v).parquet(clean_v)
     (df.repartition(12).write.mode("overwrite")
        .partitionBy("cell").parquet(frag))
-    shutil.copyfile(os.path.join(clean, "_index_meta.json"),
+    shutil.copyfile(os.path.join(clean_v, "_index_meta.json"),
                     os.path.join(frag, "_index_meta.json"))
 
     def files_per_dir(p):
@@ -433,10 +441,116 @@ def test_compact_index_preserves_results_and_merges_files(spark, tmp_path):
     assert max(files_per_dir(frag).values()) > 1
     stats = compact_index(spark, frag)
     assert stats["files_after"] < stats["files_before"]
-    assert max(files_per_dir(frag).values()) == 1
+    # publication is versioned: root still resolves, compacted files
+    # live in the committed version dir, legacy flat files vacuumed
+    frag_v = _resolve_index_dir(frag)
+    assert frag_v != frag
+    assert max(files_per_dir(frag_v).values()) == 1
+    assert not os.path.exists(os.path.join(frag, "_index_meta.json"))
+    assert not any("=" in d.name for d in os.scandir(frag) if d.is_dir())
     got = [(r["vec_id"], r["cosine"]) for r in
            ivf_topk_indexed(spark, frag, qv, k=10).collect()]
     assert got == want
+
+
+def test_index_version_protocol(spark, tmp_path):
+    """The r6 versioned-layout protocol: every publish (build or
+    compaction) lands a new vNNNNNN dir behind one atomic `_current`
+    pointer replace; the root never stops resolving, the previously
+    committed version survives exactly one more publication (grace for
+    a concurrent reader that resolved the old pointer), and older
+    versions + stranded uncommitted build dirs are vacuumed."""
+    import os
+
+    from doccrawler_spark.ops.similarity import (
+        _resolve_index_dir,
+        compact_index,
+        index_exists,
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+
+    d = str(tmp_path / "vidx")
+    assert not index_exists(d)
+
+    emb = spark.createDataFrame(
+        [(i, [(1.0 if (i >> b) & 1 else -1.0) for b in range(8)],
+          f"l{i % 2}")
+         for i in range(40)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    write_lsh_index(emb, d, n_bits=2, n_tables=2)
+    assert index_exists(d)
+    v1 = os.path.basename(_resolve_index_dir(d))
+    assert v1 == "v000001"
+    qv = [1.0] * 8
+    want = [(r["vec_id"], r["cosine"])
+            for r in lsh_topk_indexed(spark, d, qv, k=5).collect()]
+
+    # rebuild → v2 committed, v1 kept as the reader-grace version
+    write_lsh_index(emb, d, n_bits=2, n_tables=2)
+    assert os.path.basename(_resolve_index_dir(d)) == "v000002"
+    assert os.path.isdir(os.path.join(d, v1))
+
+    # a stranded uncommitted build dir (simulated crash) + a third
+    # publish: v3 current, v2 kept, v1 and the stray vacuumed
+    os.makedirs(os.path.join(d, "v000050"))
+    stats = compact_index(spark, d)
+    assert stats["files_after"] >= 1
+    cur = os.path.basename(_resolve_index_dir(d))
+    assert cur == "v000051"
+    versions = sorted(x for x in os.listdir(d) if x.startswith("v"))
+    assert versions == ["v000002", cur]
+
+    got = [(r["vec_id"], r["cosine"])
+           for r in lsh_topk_indexed(spark, d, qv, k=5).collect()]
+    assert got == want
+
+
+def test_ensure_index_heals_and_cleans(spark, tmp_path):
+    """The driver entry's shared /tmp index cache: a torn cache dir
+    with no resolvable layout is healed (rebuilt), and a build failure
+    of ANY exception type removes the tmp build dir instead of
+    stranding it."""
+    import os
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __spark_entry__ import _ensure_index
+    from doccrawler_spark.ops.similarity import (
+        index_exists,
+        write_lsh_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    # torn dir: exists, holds junk, no committed layout
+    d = str(tmp_path / "cache" / "lsh_torn")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-junk.parquet"), "w") as f:
+        f.write("torn")
+    _ensure_index(d, lambda t: write_lsh_index(emb, t, n_bits=2,
+                                               n_tables=1))
+    assert index_exists(d)
+    assert not os.path.exists(os.path.join(d, "part-junk.parquet"))
+
+    # build failure: non-OSError exceptions still clean the tmp dir
+    d2 = str(tmp_path / "cache" / "lsh_fail")
+
+    def boom(t):
+        os.makedirs(t, exist_ok=True)
+        raise ValueError("spark-side build failure stand-in")
+
+    with pytest.raises(ValueError):
+        _ensure_index(d2, boom)
+    strays = [x for x in os.listdir(os.path.dirname(d2))
+              if x.startswith(os.path.basename(d2))]
+    assert strays == []
 
 
 def test_knn_join_indexed_no_matching_bucket(spark, tmp_path):
@@ -577,7 +691,10 @@ def test_ann_index_layouts_prune_and_match(spark, tmp_path):
     p = plan_of(idx)
     assert "PartitionFilters: [" in p and "PartitionFilters: []" not in p
     # all 4 cells materialized on disk, only 2 probed
-    cells = [n for n in os.listdir(ivf_dir) if n.startswith("cell=")]
+    from doccrawler_spark.ops.similarity import _resolve_index_dir
+
+    cells = [n for n in os.listdir(_resolve_index_dir(ivf_dir))
+             if n.startswith("cell=")]
     assert len(cells) >= 3
 
     # ---- LSH: same params → identical top-k; OR-of-(band,key) prunes
