@@ -508,9 +508,14 @@ def run_round(
     if cfg.fetcher is not None:
         # pluggable fetch (S3 seam): the fetcher is handed exactly this
         # round's URL set and its hits join back to the frontier rows
-        # below — identical downstream plan, misses vanish identically
+        # below — identical downstream plan, misses vanish identically.
+        # Repartition by host FIRST: a side-effecting fetcher (http)
+        # then sees any one host on ONE task, so its per_host cap is
+        # the global per-server bound instead of tasks × per_host (the
+        # O3 politeness quota already bounds how many URLs per delayed
+        # host enter the round, which also caps this shuffle's skew)
         corpus = (
-            cfg.fetcher(fetch_now.select("url"))
+            cfg.fetcher(fetch_now.repartition(F.col("host")).select("url"))
             .filter(F.col("html").isNotNull())
             .select("url", "html")
         )

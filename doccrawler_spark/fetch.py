@@ -26,10 +26,11 @@ Scale notes (the part that matters at 10^10 URLs):
   connection budget.
 * Politeness is NOT re-implemented here: the crawl loop's O3 stage
   (robots disallow + per-host crawl-delay quota, salted top-k) decides
-  WHAT enters a fetch round; ``repartition(host)`` upstream of the
-  fetcher additionally serializes any one host onto one task so
-  per-host concurrency is bounded by ``per_host`` regardless of
-  cluster width.
+  WHAT enters a fetch round; the loop repartitions the round's URLs by
+  host before handing them over (crawl.py run_round, fetcher branch),
+  and each drain bounds in-flight requests per host at
+  ``cfg.per_host`` — together one host is served by one task at
+  ≤ ``per_host`` concurrency regardless of cluster width.
 * Timeouts/retries are per-URL and never fail the task: a fetch stage
   at 10^10 scale WILL see every failure mode, and a poison URL must
   cost one error row, not a task retry storm.
@@ -85,6 +86,13 @@ def table_fetcher(web_pages: DataFrame) -> Fetcher:
 @dataclass(frozen=True)
 class HttpFetchConfig:
     concurrency: int = 32        # in-flight requests per task
+    # in-flight requests per HOST per task (0/None = uncapped).  The
+    # crawl loop additionally repartitions the fetch batch by host so
+    # one host lives on ONE task — together that makes `per_host` the
+    # GLOBAL per-server bound regardless of cluster width (the
+    # reference bounds politeness globally at 55 coroutines only
+    # because it is single-process, crawler_usecase.py:29)
+    per_host: int = 8
     timeout_s: float = 10.0
     max_bytes: int = 4 << 20     # oversized bodies truncated, not failed
     retries: int = 1             # extra attempts on transport errors
@@ -115,11 +123,27 @@ def _fetch_one_urllib(url: str, cfg: HttpFetchConfig):
 
 
 def _drain_urllib(urls: list[str], cfg: HttpFetchConfig):
+    import threading
     from concurrent.futures import ThreadPoolExecutor
+    from urllib.parse import urlsplit
+
+    # per-host in-flight cap: one semaphore per distinct host, created
+    # up front on the draining thread (workers racing a lazy dict
+    # could mint two semaphores for one host and double the cap)
+    sems = (
+        {h: threading.Semaphore(max(1, cfg.per_host))
+         for h in {urlsplit(u).netloc for u in urls}}
+        if cfg.per_host else None
+    )
 
     def one(u: str):
-        t0 = time.monotonic()
-        html, status, err = _fetch_one_urllib(u, cfg)
+        if sems is not None:
+            with sems[urlsplit(u).netloc]:
+                t0 = time.monotonic()
+                html, status, err = _fetch_one_urllib(u, cfg)
+        else:
+            t0 = time.monotonic()
+            html, status, err = _fetch_one_urllib(u, cfg)
         return u, html, status, err, (time.monotonic() - t0) * 1e3
 
     with ThreadPoolExecutor(max_workers=max(1, cfg.concurrency)) as ex:
@@ -155,8 +179,15 @@ def _drain_aiohttp(urls: list[str], cfg: HttpFetchConfig):
     async def run():
         sem = asyncio.Semaphore(max(1, cfg.concurrency))
         timeout = aiohttp.ClientTimeout(total=cfg.timeout_s)
+        # connector enforces the per-host bound at the connection pool
+        # (limit_per_host=0 is aiohttp's "uncapped")
+        connector = aiohttp.TCPConnector(
+            limit=max(1, cfg.concurrency),
+            limit_per_host=max(0, cfg.per_host or 0),
+        )
         async with aiohttp.ClientSession(
-            timeout=timeout, headers={"User-Agent": cfg.user_agent}
+            timeout=timeout, connector=connector,
+            headers={"User-Agent": cfg.user_agent},
         ) as session:
             return await asyncio.gather(
                 *[one(session, sem, u) for u in urls]

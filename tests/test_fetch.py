@@ -225,3 +225,97 @@ def test_aiohttp_backend_is_import_gated():
         pass
     with pytest.raises(ImportError):
         http_fetcher(HttpFetchConfig(backend="aiohttp"))
+
+
+class _CountingHandler(BaseHTTPRequestHandler):
+    """Tracks, per Host header, the peak number of requests being
+    served simultaneously — the server-side instrument for the
+    per-host politeness cap."""
+
+    lock = threading.Lock()
+    current: dict = {}
+    peak: dict = {}
+    hold_s = 0.08
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        import time as _t
+
+        host = self.headers.get("Host", "?")
+        cls = type(self)
+        with cls.lock:
+            cls.current[host] = cls.current.get(host, 0) + 1
+            cls.peak[host] = max(cls.peak.get(host, 0), cls.current[host])
+        _t.sleep(cls.hold_s)
+        body = b"<html><body>ok</body></html>"
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        with cls.lock:
+            cls.current[host] -= 1
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def counting_server():
+    cls = type("C", (_CountingHandler,),
+               {"lock": threading.Lock(), "current": {}, "peak": {}})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), cls)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_address[1]}", cls
+    srv.shutdown()
+
+
+def test_per_host_cap_bounds_concurrency(spark, counting_server):
+    """cfg.per_host is a hard bound on simultaneous requests to one
+    host within a task: the loopback server never observes more than
+    per_host in-flight requests, while an uncapped drain under the
+    same load demonstrably overlaps more (proving the instrument —
+    and the pool — actually exercise concurrency)."""
+    from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+
+    netloc, cls = counting_server
+    urls = [f"http://{netloc}/p/{i}" for i in range(24)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string").coalesce(1)
+
+    fetch = http_fetcher(HttpFetchConfig(
+        backend="urllib", concurrency=8, per_host=2, timeout_s=10,
+        retries=0,
+    ))
+    assert fetch(df).count() == 24
+    assert cls.peak.get(netloc, 0) <= 2
+
+    cls.peak.clear(), cls.current.clear()
+    uncapped = http_fetcher(HttpFetchConfig(
+        backend="urllib", concurrency=8, per_host=0, timeout_s=10,
+        retries=0,
+    ))
+    assert uncapped(df).count() == 24
+    assert cls.peak.get(netloc, 0) > 2
+
+
+def test_per_host_cap_with_host_partitioning(spark, counting_server):
+    """The crawl-loop wiring: URLs repartitioned by host before the
+    fetcher (one host → one task) keep EVERY host at ≤ per_host
+    in-flight globally, even with several hosts in the same round.
+    127.0.0.1 and localhost reach the same server but are distinct
+    hosts to both the partitioner and the per-host semaphores."""
+    from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+
+    netloc, cls = counting_server
+    port = netloc.rsplit(":", 1)[1]
+    hosts = [netloc, f"localhost:{port}"]
+    rows = [(f"http://{h}/p/{i}", h) for h in hosts for i in range(12)]
+    df = spark.createDataFrame(rows, "url string, host string")
+
+    fetch = http_fetcher(HttpFetchConfig(
+        backend="urllib", concurrency=8, per_host=2, timeout_s=10,
+        retries=0,
+    ))
+    out = fetch(df.repartition(F.col("host")).select("url"))
+    assert out.count() == 24
+    for h in hosts:
+        assert 1 <= cls.peak.get(h, 0) <= 2, cls.peak
