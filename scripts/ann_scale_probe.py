@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Two-point (and more) corpus-size scaling probe for the bulk-ANN
+join: demonstrates that knn_join_indexed's cost tracks the PROBED
+BUCKETS while inline knn_join's cost tracks the CORPUS.
+
+The r5 bench measured the two within noise of each other at a
+2,000-vector corpus — exactly where pruning can't matter (every bucket
+is a handful of rows).  The claim that matters at 100 TB is the slope:
+fix the query batch, grow the corpus, and watch the unindexed join's
+cost grow with corpus size while the indexed join's cost stays pinned
+to the ~16-of-64 bucket dirs the batch probes.  This script measures
+that slope and writes BENCH/ANN_SCALE.md.
+
+Corpora are synthesized deterministically JVM-side (xxhash64-derived
+pseudo-uniform dims — no Python row loop, no RNG state), so every run
+at a given size measures identical bytes.
+
+Usage: python scripts/ann_scale_probe.py [--sizes 2000,50000,200000]
+       [--dim 64] [--reps 3] [--k 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def synth_corpus(spark, n: int, dim: int):
+    """Deterministic pseudo-random embeddings: dim d of vector i is
+    xxhash64(i, d) folded into [-1, 1).  Pure JVM codegen."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, {d}), ".format(d=dim - 1)
+            + "j -> cast(pmod(xxhash64(id, j), 2000) / 1000.0 - 1.0"
+            + " as float))"
+        ).alias("embedding"),
+    )
+
+
+def best_of(fn, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="2000,50000,200000")
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--n-bits", type=int, default=4)
+    ap.add_argument("--n-tables", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH",
+                                                  "ANN_SCALE.md"))
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    from doccrawler_spark.ops.similarity import (
+        knn_join,
+        knn_join_indexed,
+        write_lsh_index,
+    )
+    from doccrawler_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]")
+    tmp = tempfile.mkdtemp(prefix="ann_scale_",
+                           dir="/dev/shm" if os.path.isdir("/dev/shm")
+                           else None)
+    rows = []
+    try:
+        for n in sizes:
+            emb = synth_corpus(spark, n, args.dim).localCheckpoint(
+                eager=True
+            )
+            qdf = (
+                emb.filter("vec_id < 5")
+                .selectExpr("vec_id as q_id", "embedding as q_emb")
+                .localCheckpoint(eager=True)
+            )
+            d = os.path.join(tmp, f"lsh_{n}")
+            t0 = time.time()
+            write_lsh_index(emb, d, n_bits=args.n_bits,
+                            n_tables=args.n_tables)
+            build_s = round(time.time() - t0, 3)
+
+            def run_inline():
+                knn_join(emb, qdf, k=args.k, n_bits=args.n_bits,
+                         n_tables=args.n_tables).collect()
+
+            def run_indexed():
+                knn_join_indexed(spark, d, qdf, k=args.k).collect()
+
+            # equivalence first (also the warm-up)
+            a = sorted(map(tuple, knn_join(
+                emb, qdf, k=args.k, n_bits=args.n_bits,
+                n_tables=args.n_tables).collect()))
+            b = sorted(map(tuple, knn_join_indexed(
+                spark, d, qdf, k=args.k).collect()))
+            assert a == b, f"result drift at n={n}"
+
+            r = {
+                "corpus": n,
+                "build_sec": build_s,
+                "inline_sec": best_of(run_inline, args.reps),
+                "indexed_sec": best_of(run_indexed, args.reps),
+            }
+            r["speedup"] = round(r["inline_sec"] / r["indexed_sec"], 2)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    keyspace = args.n_tables * (2 ** args.n_bits)
+    lines = [
+        "# ANN bulk-join corpus-size scaling "
+        "(`scripts/ann_scale_probe.py`)",
+        "",
+        "Fixed 5-query batch, growing corpus; dim "
+        f"{args.dim}, k={args.k}, {args.n_tables} tables x "
+        f"2^{args.n_bits} buckets = {keyspace}-dir layout; best of "
+        f"{args.reps} per cell at local[{cpus}].",
+        "",
+        "`knn_join` re-bands the FULL corpus per batch (cost grows "
+        "with corpus); `knn_join_indexed` reads only the bucket dirs "
+        "the batch probes out of the write-time layout (cost pinned "
+        "to probed-bucket volume).  Results verified identical per "
+        "cell before timing.",
+        "",
+        "| corpus | index build s | inline knn_join s | "
+        "indexed s | speedup |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['corpus']:,} | {r['build_sec']} | {r['inline_sec']} "
+            f"| {r['indexed_sec']} | {r['speedup']}x |"
+        )
+    if len(rows) >= 2:
+        lines += [
+            "",
+            f"Slope: corpus grew {rows[-1]['corpus'] // rows[0]['corpus']}"
+            f"x, inline cost grew "
+            f"{round(rows[-1]['inline_sec'] / rows[0]['inline_sec'], 1)}x, "
+            f"indexed cost grew "
+            f"{round(rows[-1]['indexed_sec'] / rows[0]['indexed_sec'], 1)}x."
+            " The build is paid once per corpus version (write-once/"
+            "query-many); every query batch after it rides the pruned "
+            "scan.",
+        ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
