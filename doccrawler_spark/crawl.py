@@ -86,8 +86,16 @@ class CrawlConfig:
     # the bucket; 2^16 bits = 8 KB/bucket sandbox default), k the
     # number of probe bits
     bloom_prefilter: bool = True
-    bloom_m_bits: int = 1 << 16
+    # 0 = auto: per-bucket array sized from the CURRENT seen-set size
+    # (see _bloom_m_bits — amortized power-of-two doubling via the
+    # params-drift rebuild); >0 pins it explicitly
+    bloom_m_bits: int = 0
     bloom_k: int = 6
+    # auto-sizing targets: ~10 bits/url ≈ 0.8% fp at k=6, with 4×
+    # growth headroom so a resize (full rebuild from history) happens
+    # only each time the seen set quadruples
+    bloom_bits_per_url: int = 10
+    bloom_headroom: int = 4
     # seen-set size below which the Bloom prefilter stays dormant:
     # the per-round delta-build + snapshot commit measured ~7% of a
     # small-corpus round (240k-URL seen set, r5 A/B) while routing
@@ -385,8 +393,28 @@ def _ensure_seen_table(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
     return catalog.seen_table(spark, cfg.seen_buckets)
 
 
+def _bloom_m_bits(cfg: CrawlConfig, seen_size: int) -> int:
+    """Per-bucket Bloom array size.  Explicit when cfg.bloom_m_bits>0;
+    else auto: ``bits_per_url × headroom × seen ÷ buckets`` rounded up
+    to a power of two, floored at 2^16 (the 8 KB/bucket sandbox size)
+    and capped at 2^27 (16 MB/bucket row — past that, raise
+    seen_buckets instead of the row size).  Power-of-two rounding plus
+    headroom makes m a step function of seen growth: it changes only
+    when the seen set outgrows capacity, the params-drift machinery in
+    _ensure_bloom then rebuilds the filter from frontier history —
+    cost ∝ |seen|, paid O(log |seen|) times over a crawl (amortized
+    doubling).  A FIXED m would instead saturate to all-ones at
+    10^10 URLs and pass everything to the exact check."""
+    if cfg.bloom_m_bits:
+        return cfg.bloom_m_bits
+    per_bucket = (cfg.bloom_bits_per_url * cfg.bloom_headroom
+                  * max(seen_size, 1)) // max(cfg.seen_buckets, 1)
+    per_bucket = min(max(per_bucket, 1 << 16), 1 << 27)
+    return 1 << (per_bucket - 1).bit_length()
+
+
 def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
-                  upto_round: int):
+                  upto_round: int, m_bits: int | None = None):
     """Heal the partitioned seen-Bloom snapshot through ``upto_round``
     and return it (None before any frontier commit).  Incremental: the
     latest committed bloom snapshot is OR-merged with the delta blooms
@@ -396,6 +424,8 @@ def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
     invisible and simply rebuilt)."""
     from . import bloom as B
 
+    if m_bits is None:
+        m_bits = _bloom_m_bits(cfg, 0)
     rounds = [r for r in catalog.committed_rounds("frontier")
               if r <= upto_round]
     if not rounds:
@@ -407,7 +437,7 @@ def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
     if latest is not None:
         latest_df = catalog.read(spark, B.BLOOM_TABLE, latest)
         if not B.params_match(latest_df, cfg.seen_buckets,
-                              cfg.bloom_m_bits, cfg.bloom_k):
+                              m_bits, cfg.bloom_k):
             # resume with changed bloom params (or a pre-fmt snapshot):
             # OR-merging incompatible bit patterns would yield FALSE
             # NEGATIVES (NULL-padded zip_with words / probes of
@@ -426,10 +456,10 @@ def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
             .filter(F.col("is_new")).select("url")
         )
         frames.append(
-            B.bloom_delta(delta, cfg.seen_buckets, cfg.bloom_m_bits,
+            B.bloom_delta(delta, cfg.seen_buckets, m_bits,
                           cfg.bloom_k)
         )
-    merged = B.bloom_merge(frames, cfg.bloom_m_bits)
+    merged = B.bloom_merge(frames, m_bits)
     catalog.write(merged, B.BLOOM_TABLE, upto_round)
     # read BACK from the committed snapshot: downstream consumers get a
     # plain pruned parquet scan (with accurate size stats for the
@@ -662,6 +692,7 @@ def run_round(
                 if r < round_
             )
         use_bloom = cfg.bloom_prefilter and seen_size >= cfg.bloom_min_seen
+        bloom_m = _bloom_m_bits(cfg, seen_size) if use_bloom else None
         if frontier_size < cfg.broadcast_dedup_max_frontier:
             # Bloom-prefiltered dedup: the seen-set (which grows every
             # round) is NEVER shuffled — it is scanned once (url column
@@ -687,7 +718,7 @@ def run_round(
             # The seen scan + double-broadcast shape is unchanged —
             # the seen side is still never shuffled.
             bloom_df = (
-                _ensure_bloom(spark, catalog, cfg, round_ - 1)
+                _ensure_bloom(spark, catalog, cfg, round_ - 1, bloom_m)
                 if use_bloom else None
             )
             if bloom_df is not None:
@@ -695,7 +726,7 @@ def run_round(
 
                 definitely_new, maybe = B.split_maybe(
                     firsts, bloom_df, cfg.seen_buckets,
-                    cfg.bloom_m_bits, cfg.bloom_k,
+                    bloom_m, cfg.bloom_k,
                 )
             else:
                 definitely_new, maybe = None, firsts
@@ -714,7 +745,7 @@ def run_round(
             # invisible (manifest-committed appends only + vacuum).
             seen_tbl = _ensure_seen_table(spark, catalog, cfg, round_ - 1)
             bloom_df = (
-                _ensure_bloom(spark, catalog, cfg, round_ - 1)
+                _ensure_bloom(spark, catalog, cfg, round_ - 1, bloom_m)
                 if use_bloom else None
             )
             if bloom_df is not None:
@@ -729,7 +760,7 @@ def run_round(
 
                 new_items = B.prefilter_new(
                     firsts, bloom_df, seen_tbl, cfg.seen_buckets,
-                    cfg.bloom_m_bits, cfg.bloom_k,
+                    bloom_m, cfg.bloom_k,
                 )
             else:
                 new_items = firsts.join(seen_tbl, "url", "left_anti")

@@ -238,3 +238,53 @@ def test_bloom_prefilter_exact_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_bloom_auto_sizing_doubling_schedule():
+    """_bloom_m_bits: explicit size wins; auto is a power-of-two step
+    function of seen size with the 2^16 floor and 2^27 cap — constant
+    across small growth (no rebuild thrash), stepping only when the
+    seen set outgrows its headroom (amortized-doubling resizes)."""
+    from doccrawler_spark.crawl import CrawlConfig, _bloom_m_bits
+
+    explicit = CrawlConfig(bloom_m_bits=1 << 12)
+    assert _bloom_m_bits(explicit, 10**9) == 1 << 12
+
+    auto = CrawlConfig()  # bloom_m_bits=0, 10 bits/url, headroom 4, 64 buckets
+    assert _bloom_m_bits(auto, 0) == 1 << 16          # floor
+    assert _bloom_m_bits(auto, 100_000) == 1 << 16    # still under floor
+    m1 = _bloom_m_bits(auto, 2_000_000)
+    m2 = _bloom_m_bits(auto, 2_100_000)
+    assert m1 == m2 and m1 > 1 << 16                  # plateau, no thrash
+    assert _bloom_m_bits(auto, 8_000_000) > m1        # stepped after ~4x
+    assert _bloom_m_bits(auto, 10**12) == 1 << 27     # cap
+    # capacity invariant: auto m always covers seen at bits_per_url
+    for n in (10**6, 10**7, 10**8):
+        m = _bloom_m_bits(auto, n)
+        assert m * auto.seen_buckets >= auto.bloom_bits_per_url * n
+
+
+def test_bloom_auto_e2e_equals_off(spark, tmp_path):
+    """A forced-on AUTO-sized bloom crawl (bloom_m_bits=0) produces the
+    identical seen set to a bloom-off crawl — auto sizing changes cost
+    routing only, never semantics."""
+    from doccrawler_spark.crawl import CrawlConfig, crawl, seen_all
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+
+    def run(name, **kw):
+        cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                          seen_buckets=8, **kw)
+        cat = crawl(spark, web, seeds, os.path.join(str(tmp_path), name), cfg)
+        return {(r["url"], r["round"], r["depth"])
+                for r in seen_all(spark, cat).collect()}
+
+    off = run("off", bloom_prefilter=False)
+    auto = run("auto", bloom_m_bits=0, bloom_min_seen=0)
+    assert off and auto == off
