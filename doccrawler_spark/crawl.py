@@ -233,8 +233,11 @@ def seed_round(
         # hit shape; misses (html IS NULL) drop exactly like join
         # misses.  Small seed sets keep the driver-local-relation
         # semantics of the point-lookup path; big ones snapshot.
+        # Host-repartitioned like the round fetch: the ~6 probe URLs
+        # per seed authority land on one task under the per_host cap.
         fetched_probes = (
-            cfg.fetcher(probe_urls_df)
+            cfg.fetcher(probe_urls_df.repartition(
+                Fx.host_col(F.col("url"))))
             .filter(F.col("html").isNotNull())
             .select("url", "html")
         )
