@@ -401,19 +401,31 @@ def _bloom_m_bits(cfg: CrawlConfig, seen_size: int) -> int:
     else auto: ``bits_per_url × headroom × seen ÷ buckets`` rounded up
     to a power of two, floored at 2^16 (the 8 KB/bucket sandbox size)
     and capped at 2^27 (16 MB/bucket row — past that, raise
-    seen_buckets instead of the row size).  Power-of-two rounding plus
-    headroom makes m a step function of seen growth: it changes only
-    when the seen set outgrows capacity, the params-drift machinery in
-    _ensure_bloom then rebuilds the filter from frontier history —
-    cost ∝ |seen|, paid O(log |seen|) times over a crawl (amortized
-    doubling).  A FIXED m would instead saturate to all-ones at
-    10^10 URLs and pass everything to the exact check."""
+    seen_buckets instead of the row size).  The rounding makes m a
+    step function of seen growth: it changes only when the seen set
+    outgrows capacity, the params-drift machinery in _ensure_bloom
+    then rebuilds the filter from frontier history — cost ∝ |seen|,
+    paid O(log |seen|) times over a crawl (amortized doubling).  A
+    FIXED m would instead saturate to all-ones at 10^10 URLs and pass
+    everything to the exact check.
+
+    Sizes step in powers of FOUR (even exponents): power-of-two steps
+    would resize on every doubling of the seen set no matter the
+    headroom (headroom only phase-shifts the crossing), while pow-4
+    stepping halves the number of full rebuilds between 10^6 and
+    10^10 URLs for at most a transient 4× memory overshoot — and a
+    rebuild at 10^10 is a rescan of all frontier history, by far the
+    expensive side of that trade (measured: forcing the filter on at
+    240k seen with min_seen=0 costs ~35% of a bench round, resize
+    rebuilds included — the 10^6 gate + this cadence bound that)."""
     if cfg.bloom_m_bits:
         return cfg.bloom_m_bits
     per_bucket = (cfg.bloom_bits_per_url * cfg.bloom_headroom
                   * max(seen_size, 1)) // max(cfg.seen_buckets, 1)
     per_bucket = min(max(per_bucket, 1 << 16), 1 << 27)
-    return 1 << (per_bucket - 1).bit_length()
+    n = (per_bucket - 1).bit_length()
+    n += n & 1  # even exponent → resizes only per 4× seen growth
+    return 1 << min(n, 27)
 
 
 def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
