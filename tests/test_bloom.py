@@ -288,3 +288,40 @@ def test_bloom_auto_e2e_equals_off(spark, tmp_path):
     off = run("off", bloom_prefilter=False)
     auto = run("auto", bloom_m_bits=0, bloom_min_seen=0)
     assert off and auto == off
+
+
+def test_bloom_auto_resize_mid_crawl_rebuilds_exactly(spark, tmp_path):
+    """Cranked bits_per_url makes the auto size cross a pow-4 step
+    while the crawl is still running: later bloom snapshots must carry
+    a LARGER m_bits than round-1's (the resize actually fired, via the
+    params-drift rebuild), and the final seen set must equal the
+    bloom-off crawl (resizes can never cost exactness)."""
+    from doccrawler_spark.crawl import CrawlConfig, crawl, seen_all
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+
+    def run(name, **kw):
+        cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                          seen_buckets=8, **kw)
+        cat = crawl(spark, web, seeds, os.path.join(str(tmp_path), name), cfg)
+        return cat, {(r["url"], r["round"], r["depth"])
+                     for r in seen_all(spark, cat).collect()}
+
+    _, off = run("off", bloom_prefilter=False)
+    cat, auto = run("auto", bloom_m_bits=0, bloom_min_seen=0,
+                    bloom_bits_per_url=50_000)
+    assert off and auto == off
+
+    ms = []
+    for r in cat.committed_rounds(B.BLOOM_TABLE):
+        row = cat.read(spark, B.BLOOM_TABLE, r).select("m_bits").first()
+        ms.append(row["m_bits"])
+    assert len(ms) >= 2, "crawl too short to observe a resize"
+    assert ms[-1] > ms[0], f"auto resize never fired: {ms}"
+    assert all(b >= a for a, b in zip(ms, ms[1:])), ms  # monotone growth
