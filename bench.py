@@ -79,10 +79,13 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
         # the r5 broadcast-branch routing's per-round build cost)
         bloom_prefilter=not os.environ.get("BENCH_NO_BLOOM"),
         # BENCH_BLOOM_FORCE=1 drops the cost gate so the Bloom path
-        # actually engages at bench scale (~240k seen, below the 1M
+        # actually engages at bench scale (~240k seen, below the
         # production gate) — the meaningful A/B pair is FORCE vs
-        # default (r5's NO_BLOOM-vs-default compared two dormant arms)
-        bloom_min_seen=0 if os.environ.get("BENCH_BLOOM_FORCE") else 1_000_000,
+        # default (r5's NO_BLOOM-vs-default compared two dormant arms).
+        # The non-FORCE arm takes the dataclass default so the bench
+        # tracks the production gate instead of a duplicated literal.
+        bloom_min_seen=0 if os.environ.get("BENCH_BLOOM_FORCE")
+        else CrawlConfig.bloom_min_seen,
     )
     # the host shows bursty CPU steal (up to 10x on identical jobs) —
     # run the crawl up to BENCH_CRAWL_REPEATS times and report the best

@@ -153,6 +153,50 @@ def bloom_merge(frames: list[DataFrame], m_bits: int) -> DataFrame:
     )
 
 
+def bloom_merge_gens(frames: list[DataFrame]) -> DataFrame:
+    """OR-merge bloom tables that may span several GENERATIONS (rows
+    with different ``m_bits``): arrays only ever fold within their own
+    (bucket, m_bits) group — cross-m zip_with would NULL-pad the short
+    array and manufacture false negatives.  The fold seeds from the
+    group's first array instead of a synthetic zero vector, so no
+    caller-supplied m is needed."""
+    allf = frames[0]
+    for f in frames[1:]:
+        allf = allf.unionByName(f)
+    grouped = allf.groupBy("bucket", "m_bits").agg(
+        F.collect_list("words").alias("ws"),
+        *[F.min(c).alias(c) for c in _PARAM_COLS if c != "m_bits"],
+    )
+    return grouped.select(
+        "bucket",
+        F.aggregate(
+            F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+            F.element_at("ws", 1),
+            lambda acc, w: F.zip_with(acc, w, lambda a, b: a.bitwiseOR(b)),
+        ).alias("words"),
+        *_PARAM_COLS,
+    )
+
+
+def chain_params_match(bloom_df: DataFrame, n_buckets: int, k: int) -> bool:
+    """True iff a committed bloom snapshot can be EXTENDED as a
+    generation chain: every row's (k, n_buckets, fmt) matches the
+    running config — ``m_bits`` is free per generation, that is the
+    point of the chain.  A k/bucketing/hash-format change still forces
+    the full rebuild (those alter bit positions within a generation).
+    One driver-side read of ≤ n_buckets·generations tiny rows —
+    resume-time only."""
+    if not set(_PARAM_COLS) <= set(bloom_df.columns):
+        return False
+    rows = (bloom_df.select("k", "n_buckets", "fmt").distinct()
+            .limit(4).collect())
+    if not rows:  # empty filter: vacuously compatible
+        return True
+    return (len(rows) == 1 and rows[0]["k"] == k
+            and rows[0]["n_buckets"] == n_buckets
+            and rows[0]["fmt"] == _BLOOM_FMT)
+
+
 def params_match(
     bloom_df: DataFrame, n_buckets: int, m_bits: int, k: int
 ) -> bool:
@@ -199,6 +243,14 @@ def split_maybe(
     (or no bloom row for its bucket) has definitely never been enqueued;
     the rest — true dups + the fp rate — must take the exact check.
     The Bloom only routes rows, it never decides membership."""
+    if m_bits <= 0 or k <= 0 or n_buckets <= 0:
+        # pmod(hash, 0) is NULL, which routes every row to NEITHER
+        # branch — a silently row-dropping filter.  Callers sizing via
+        # the auto path (CrawlConfig.bloom_m_bits=0) must resolve the
+        # actual m (crawl._bloom_m_bits) before probing.
+        raise ValueError(
+            f"split_maybe needs positive bloom params, got "
+            f"m_bits={m_bits} k={k} n_buckets={n_buckets}")
     # probe needs only (bucket, words); the persisted param columns
     # (and anything else a future snapshot carries) stay out of the join
     bloom = bloom.select("bucket", "words")
@@ -228,6 +280,95 @@ def prefilter_new(
     seen``."""
     definitely_new, maybe = split_maybe(
         candidates, bloom, n_buckets, m_bits, k, url_col
+    )
+    return definitely_new.unionByName(
+        maybe.join(seen, url_col, "left_anti")
+    )
+
+
+# ---- generation-chained probe (r7) ---------------------------------
+#
+# A chained filter holds one bit array per (bucket, GENERATION): when
+# the auto-sizer steps m, new deltas open a new generation at the new
+# size instead of rebuilding the whole filter from frontier history —
+# a resize is O(new-delta), the scalable-Bloom construction (Almeida
+# et al. 2007).  A url is maybe-seen iff ANY generation says so; it is
+# definitely-new only when EVERY generation that could hold it clears
+# a bit.  No false negatives: every inserted url set its bits in
+# exactly one generation, which the probe always consults.  The fp
+# rate is the SUM over generations — bounded, because pow-4 sizing
+# means each older generation holds ≥4× fewer urls per bit than the
+# current one; fold_bloom() (maintenance, not the resize path)
+# collapses the chain back to one generation when that sum matters.
+
+
+def _maybe_seen_chained_sql(gens_col: str, h1_col: str, h2_col: str,
+                            k: int) -> str:
+    """SQL boolean over ``gens_col`` = array<struct<m_bits, words>>:
+    EXISTS a generation with all k bits set.  ``h1_col``/``h2_col``
+    must be pre-materialized raw xxhash64 columns — referencing
+    xxhash64(url) inside the lambda would re-hash once per generation
+    (the r3 per-element CSE trap); mod-m reduction is the only
+    per-generation math."""
+    tests = []
+    for i in range(k):
+        # h2 forced odd AGAINST THIS GENERATION'S m (see _pos_sql)
+        pos = (f"pmod(pmod({h1_col}, g.m_bits) + {i} * "
+               f"(1 + 2 * pmod({h2_col}, g.m_bits DIV 2)), g.m_bits)")
+        tests.append(
+            f"((element_at(g.words, CAST(({pos}) DIV 64 AS INT) + 1)"
+            f" >> CAST(({pos}) % 64 AS INT)) & 1) = 1"
+        )
+    return (f"coalesce(exists({gens_col}, g -> "
+            + " AND ".join(tests) + "), false)")
+
+
+def split_maybe_chained(
+    candidates: DataFrame, bloom: DataFrame,
+    n_buckets: int, k: int, url_col: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) over a generation-chained bloom
+    (rows spanning ≥1 distinct ``m_bits``).  The generations of a
+    bucket are gathered into ONE row (array of <m_bits, words>
+    structs), so the candidate side still pays a single join no matter
+    how many resizes the crawl has been through; the probe tests
+    k·generations bits per row, all inside codegen.  With a single
+    generation this routes rows exactly like :func:`split_maybe`."""
+    if k <= 0 or n_buckets <= 0:
+        raise ValueError(
+            f"split_maybe_chained needs positive bloom params, got "
+            f"k={k} n_buckets={n_buckets}")
+    gens = bloom.groupBy("bucket").agg(
+        F.collect_list(F.struct("m_bits", "words")).alias("_gens")
+    )
+    cb = candidates.withColumn(
+        "_bloom_bucket", F.expr(bucket_expr(url_col, n_buckets))
+    ).withColumn(
+        "_h1raw", F.expr(f"xxhash64({url_col})")
+    ).withColumn(
+        "_h2raw", F.expr(f"xxhash64({url_col}, {_SEED2}L)")
+    )
+    jb = cb.join(
+        gens.withColumnRenamed("bucket", "_bloom_bucket"),
+        "_bloom_bucket", "left",
+    ).withColumn(
+        "_maybe",
+        F.expr(_maybe_seen_chained_sql("_gens", "_h1raw", "_h2raw", k)),
+    )
+    drop = ["_bloom_bucket", "_h1raw", "_h2raw", "_gens", "_maybe"]
+    definitely_new = jb.filter(~F.col("_maybe")).drop(*drop)
+    maybe = jb.filter(F.col("_maybe")).drop(*drop)
+    return definitely_new, maybe
+
+
+def prefilter_new_chained(
+    candidates: DataFrame, bloom: DataFrame, seen: DataFrame,
+    n_buckets: int, k: int, url_col: str = "url",
+) -> DataFrame:
+    """:func:`prefilter_new` over a generation-chained bloom.  Result
+    set is EXACTLY ``candidates ANTI seen`` — the chain only routes."""
+    definitely_new, maybe = split_maybe_chained(
+        candidates, bloom, n_buckets, k, url_col
     )
     return definitely_new.unionByName(
         maybe.join(seen, url_col, "left_anti")

@@ -96,6 +96,15 @@ class CrawlConfig:
     # only each time the seen set quadruples
     bloom_bits_per_url: int = 10
     bloom_headroom: int = 4
+    # generation-chained resizes (scalable Bloom, r7): when the auto
+    # sizer steps m, new deltas open a NEW generation at the new size
+    # — O(new-delta) — instead of rebuilding the whole filter from
+    # frontier history (at 10^10 seen URLs that rescan is the most
+    # expensive maintenance op in the engine).  The full rebuild is
+    # retained for k/bucketing/hash-format drift (those change bit
+    # positions inside a generation) and for bloom_chained=False.
+    # fold_bloom() collapses an old chain at vacuum time.
+    bloom_chained: bool = True
     # seen-set size below which the Bloom prefilter stays dormant:
     # the per-round delta-build + snapshot commit measured ~7% of a
     # small-corpus round (240k-URL seen set, r5 A/B) while routing
@@ -436,7 +445,14 @@ def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
     of only the frontier rounds it predates — cost ∝ missed deltas,
     never ∝ |seen| — then committed at ``upto_round`` (the same
     atomic-manifest protocol as every table, so a torn build is
-    invisible and simply rebuilt)."""
+    invisible and simply rebuilt).
+
+    ``m_bits`` sizes the NEW deltas.  Under ``cfg.bloom_chained`` a
+    step of the auto sizer just opens a new GENERATION at the new size
+    (rows keyed by their own m_bits; probe = any-generation), so a
+    resize costs O(new-delta); the full from-history rebuild fires
+    only on k/bucketing/hash-format drift.  Unchained, any param
+    mismatch — resizes included — rebuilds the whole filter."""
     from . import bloom as B
 
     if m_bits is None:
@@ -451,8 +467,14 @@ def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
     latest_df = None
     if latest is not None:
         latest_df = catalog.read(spark, B.BLOOM_TABLE, latest)
-        if not B.params_match(latest_df, cfg.seen_buckets,
-                              m_bits, cfg.bloom_k):
+        compatible = (
+            B.chain_params_match(latest_df, cfg.seen_buckets,
+                                 cfg.bloom_k)
+            if cfg.bloom_chained else
+            B.params_match(latest_df, cfg.seen_buckets,
+                           m_bits, cfg.bloom_k)
+        )
+        if not compatible:
             # resume with changed bloom params (or a pre-fmt snapshot):
             # OR-merging incompatible bit patterns would yield FALSE
             # NEGATIVES (NULL-padded zip_with words / probes of
@@ -474,12 +496,48 @@ def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
             B.bloom_delta(delta, cfg.seen_buckets, m_bits,
                           cfg.bloom_k)
         )
-    merged = B.bloom_merge(frames, m_bits)
+    merged = (B.bloom_merge_gens(frames) if cfg.bloom_chained
+              else B.bloom_merge(frames, m_bits))
     catalog.write(merged, B.BLOOM_TABLE, upto_round)
     # read BACK from the committed snapshot: downstream consumers get a
     # plain pruned parquet scan (with accurate size stats for the
     # broadcast decision), not the whole merge lineage re-executed
     return catalog.read(spark, B.BLOOM_TABLE, upto_round)
+
+
+def fold_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
+               upto_round: int | None = None):
+    """Collapse a generation-chained Bloom back to ONE generation sized
+    for the current seen set: rebuild every committed frontier round's
+    delta at today's auto m and commit the merge at ``upto_round``.
+    This is the MAINTENANCE op (run it at vacuum cadence, like
+    snapshot vacuuming) that bounds the chain's summed fp rate and
+    probe width; the crawl loop itself never pays it — resizes there
+    are O(new-delta) generation appends.  Returns the folded frame, or
+    None before any frontier commit."""
+    from . import bloom as B
+
+    rounds = catalog.committed_rounds("frontier")
+    if upto_round is not None:
+        rounds = [r for r in rounds if r <= upto_round]
+    if not rounds:
+        return None
+    upto = rounds[-1] if upto_round is None else upto_round
+    seen_size = sum(
+        catalog.count_true("frontier", r, "is_new", spark=spark)
+        for r in rounds
+    )
+    m = _bloom_m_bits(cfg, seen_size)
+    frames = [
+        B.bloom_delta(
+            catalog.read(spark, "frontier", r)
+            .filter(F.col("is_new")).select("url"),
+            cfg.seen_buckets, m, cfg.bloom_k,
+        )
+        for r in rounds
+    ]
+    catalog.write(B.bloom_merge(frames, m), B.BLOOM_TABLE, upto)
+    return catalog.read(spark, B.BLOOM_TABLE, upto)
 
 
 def run_round(
@@ -739,10 +797,15 @@ def run_round(
             if bloom_df is not None:
                 from . import bloom as B
 
-                definitely_new, maybe = B.split_maybe(
-                    firsts, bloom_df, cfg.seen_buckets,
-                    bloom_m, cfg.bloom_k,
-                )
+                if cfg.bloom_chained:
+                    definitely_new, maybe = B.split_maybe_chained(
+                        firsts, bloom_df, cfg.seen_buckets, cfg.bloom_k,
+                    )
+                else:
+                    definitely_new, maybe = B.split_maybe(
+                        firsts, bloom_df, cfg.seen_buckets,
+                        bloom_m, cfg.bloom_k,
+                    )
             else:
                 definitely_new, maybe = None, firsts
             hits = seen.join(F.broadcast(maybe.select("url")), "url", "left_semi")
@@ -773,10 +836,16 @@ def run_round(
                 # the bucket key instead).
                 from . import bloom as B
 
-                new_items = B.prefilter_new(
-                    firsts, bloom_df, seen_tbl, cfg.seen_buckets,
-                    bloom_m, cfg.bloom_k,
-                )
+                if cfg.bloom_chained:
+                    new_items = B.prefilter_new_chained(
+                        firsts, bloom_df, seen_tbl, cfg.seen_buckets,
+                        cfg.bloom_k,
+                    )
+                else:
+                    new_items = B.prefilter_new(
+                        firsts, bloom_df, seen_tbl, cfg.seen_buckets,
+                        bloom_m, cfg.bloom_k,
+                    )
             else:
                 new_items = firsts.join(seen_tbl, "url", "left_anti")
 

@@ -136,6 +136,23 @@ def _drain_urllib(urls: list[str], cfg: HttpFetchConfig):
         if cfg.per_host else None
     )
 
+    if sems is not None and len(sems) > 1:
+        # the crawl loop repartitions by host, so a task's batch
+        # arrives host-GROUPED — submitted as-is, the first
+        # ``concurrency`` workers would all block on one host's
+        # semaphore while other hosts' URLs queue behind them
+        # (head-of-line blocking).  Round-robin interleave by host so
+        # distinct hosts stay in flight while each respects per_host;
+        # result order is irrelevant (rows carry their url).
+        from collections import deque
+        from itertools import chain, zip_longest
+
+        by_host: dict[str, deque] = {}
+        for u in urls:
+            by_host.setdefault(urlsplit(u).netloc, deque()).append(u)
+        urls = [u for u in chain.from_iterable(
+            zip_longest(*by_host.values())) if u is not None]
+
     def one(u: str):
         if sems is not None:
             with sems[urlsplit(u).netloc]:

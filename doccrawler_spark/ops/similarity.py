@@ -265,13 +265,24 @@ _VERSION_RE = r"v\d{6}"
 def _resolve_index_dir(path: str) -> str:
     """The committed layout directory for an index root: the
     ``_current``-pointed version dir, else the root itself for a
-    legacy flat layout, else FileNotFoundError."""
+    legacy flat layout, else FileNotFoundError.
+
+    The pointed dir must contain its ``_index_meta.json`` — a pointer
+    whose target was lost (e.g. a racing publisher's vacuum under a
+    pre-r7 protocol) raises FileNotFoundError instead of returning a
+    dangling path, so ``index_exists`` goes False and the cache-layer
+    heal (:func:`_ensure_index`) rebuilds rather than failing reads
+    forever."""
     import os
 
     ptr = os.path.join(path, "_current")
     if os.path.exists(ptr):
         with open(ptr) as f:
-            return os.path.join(path, f.read().strip())
+            vdir = os.path.join(path, f.read().strip())
+        if os.path.exists(_index_meta_path(vdir)):
+            return vdir
+        raise FileNotFoundError(
+            f"index pointer at {path} names an incomplete layout")
     if os.path.exists(_index_meta_path(path)):
         return path
     raise FileNotFoundError(f"no committed index layout at {path}")
@@ -317,43 +328,64 @@ def _commit_index_version(path: str, vname: str) -> None:
     os.replace(tmp, ptr)
 
 
-def _vacuum_index(path: str, keep: set[str]) -> None:
+def _vacuum_index(path: str, keep: set[str],
+                  spare_flat: bool = False) -> None:
     """Drop version dirs outside ``keep`` plus any legacy flat-layout
     artifacts at the root (a pointer now owns resolution, so the flat
-    files are dead weight the next compaction would double-count)."""
+    files are dead weight).  ``keep`` is re-widened with whatever
+    ``_current`` names AT VACUUM TIME — with two concurrent publishers
+    the loser's stale keep-set must never delete the version the
+    winner just committed (that would leave the live pointer
+    dangling).  ``spare_flat`` leaves the flat files in place for one
+    generation — set on the first versioned publish over a legacy
+    root, where the flat layout IS the previous version a concurrent
+    reader may still be scanning; the next publish vacuums them."""
     import os
     import re
     import shutil
 
+    keep = set(keep)
+    try:
+        with open(os.path.join(path, "_current")) as f:
+            keep.add(f.read().strip())
+    except OSError:
+        pass
     for d in os.listdir(path):
         p = os.path.join(path, d)
         if re.fullmatch(_VERSION_RE, d):
             if d not in keep:
                 shutil.rmtree(p, ignore_errors=True)
+        elif spare_flat:
+            continue
         elif os.path.isdir(p) and "=" in d:  # legacy flat partition dir
             shutil.rmtree(p, ignore_errors=True)
-    for f in ("_index_meta.json", "_SUCCESS"):
-        try:
-            os.remove(os.path.join(path, f))
-        except OSError:
-            pass
+    if not spare_flat:
+        for f in ("_index_meta.json", "_SUCCESS"):
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
 
 
 def _publish_index_version(path: str, vname: str) -> None:
     """Commit ``vname`` as the live layout, then vacuum everything but
     it and the previously-committed version (still potentially mid-scan
-    in a concurrent reader)."""
+    in a concurrent reader).  A legacy flat root gets the same grace:
+    its flat partition dirs are the previous version, so the first
+    versioned publish leaves them untouched for one generation."""
     import os
 
     try:
-        prev = os.path.basename(_resolve_index_dir(path))
+        resolved = _resolve_index_dir(path)
     except (FileNotFoundError, OSError):
-        prev = None
+        resolved = None
+    legacy_prev = (resolved is not None
+                   and os.path.abspath(resolved) == os.path.abspath(path))
     _commit_index_version(path, vname)
     keep = {vname}
-    if prev is not None and prev != os.path.basename(path):
-        keep.add(prev)
-    _vacuum_index(path, keep)
+    if resolved is not None and not legacy_prev:
+        keep.add(os.path.basename(resolved))
+    _vacuum_index(path, keep, spare_flat=legacy_prev)
 
 
 def _read_index_meta(path: str) -> dict:
@@ -543,8 +575,10 @@ def compact_index(spark, path: str, target_bytes: int = 128 << 20) -> dict:
     published with the single atomic ``_current`` pointer replace —
     the root never stops resolving, a concurrent reader holding the
     old version keeps a complete layout (vacuum spares the previous
-    version), and a crash at any point strands at most one uncommitted
-    build dir that the next commit vacuums.  The meta rides along
+    version — including a pre-versioning flat layout, whose files stay
+    in place at the root for one generation), and a crash at any point
+    strands at most one uncommitted build dir that the next commit
+    vacuums.  The meta rides along
     unchanged — same quantizer/params, same results.  Returns
     {files_before, files_after, bytes}."""
     import os

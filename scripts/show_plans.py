@@ -247,7 +247,15 @@ def main() -> None:
     from doccrawler_spark.crawl import CrawlConfig as _CC
     from doccrawler_spark.crawl import _ensure_bloom
 
-    bcfg = _CC(broadcast_dedup_max_frontier=0, seen_buckets=8)
+    # bloom_m_bits is PINNED here: under the r6 auto-sizing default
+    # (bloom_m_bits=0) _ensure_bloom heals the snapshot at the auto
+    # size while a raw 0 passed to prefilter_new degenerates the probe
+    # to pmod(hash, 0) = NULL — a filter that drops every candidate.
+    # Pinning makes both sides use the same m by construction; the
+    # auto-sizing path itself is covered by tests (on==off e2e,
+    # mid-crawl resize).
+    bcfg = _CC(broadcast_dedup_max_frontier=0, seen_buckets=8,
+               bloom_m_bits=1 << 16)
     upto = catalog.committed_rounds("frontier")[-1]
     bloom_df = _ensure_bloom(spark, catalog, bcfg, upto)
     pre = B.prefilter_new(

@@ -293,9 +293,12 @@ def test_bloom_auto_e2e_equals_off(spark, tmp_path):
 def test_bloom_auto_resize_mid_crawl_rebuilds_exactly(spark, tmp_path):
     """Cranked bits_per_url makes the auto size cross a pow-4 step
     while the crawl is still running: later bloom snapshots must carry
-    a LARGER m_bits than round-1's (the resize actually fired, via the
-    params-drift rebuild), and the final seen set must equal the
-    bloom-off crawl (resizes can never cost exactness)."""
+    a LARGER max m_bits than round-1's (the resize actually fired),
+    and the final seen set must equal the bloom-off crawl (resizes can
+    never cost exactness).  Both resize mechanisms are pinned: the
+    default CHAINED mode must show ≥2 generations in the final
+    snapshot (the resize appended, O(new-delta)); the unchained mode
+    must show exactly one (the legacy full from-history rebuild)."""
     from doccrawler_spark.crawl import CrawlConfig, crawl, seen_all
     from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
 
@@ -314,14 +317,120 @@ def test_bloom_auto_resize_mid_crawl_rebuilds_exactly(spark, tmp_path):
                      for r in seen_all(spark, cat).collect()}
 
     _, off = run("off", bloom_prefilter=False)
-    cat, auto = run("auto", bloom_m_bits=0, bloom_min_seen=0,
-                    bloom_bits_per_url=50_000)
-    assert off and auto == off
 
-    ms = []
-    for r in cat.committed_rounds(B.BLOOM_TABLE):
-        row = cat.read(spark, B.BLOOM_TABLE, r).select("m_bits").first()
-        ms.append(row["m_bits"])
-    assert len(ms) >= 2, "crawl too short to observe a resize"
-    assert ms[-1] > ms[0], f"auto resize never fired: {ms}"
-    assert all(b >= a for a, b in zip(ms, ms[1:])), ms  # monotone growth
+    for arm, chained in (("chained", True), ("rebuild", False)):
+        cat, auto = run(arm, bloom_m_bits=0, bloom_min_seen=0,
+                        bloom_bits_per_url=50_000, bloom_chained=chained)
+        assert off and auto == off, arm
+
+        ms = []
+        for r in cat.committed_rounds(B.BLOOM_TABLE):
+            df = cat.read(spark, B.BLOOM_TABLE, r)
+            gens = sorted(x["m_bits"] for x in
+                          df.select("m_bits").distinct().collect())
+            ms.append(gens)
+        assert len(ms) >= 2, f"{arm}: crawl too short to observe a resize"
+        assert max(ms[-1]) > max(ms[0]), f"{arm}: resize never fired: {ms}"
+        assert all(max(b) >= max(a) for a, b in zip(ms, ms[1:])), (arm, ms)
+        if chained:
+            assert len(ms[-1]) >= 2, \
+                f"chained resize rebuilt instead of appending: {ms}"
+        else:
+            assert all(len(g) == 1 for g in ms), \
+                f"unchained crawl grew generations: {ms}"
+
+
+def test_bloom_chained_no_false_negatives_and_exact(spark):
+    """Generation-chained primitives: deltas built at DIFFERENT m_bits
+    merge as separate generations (never cross-m zip_with), every
+    inserted url routes to maybe-seen (no false negatives across the
+    chain), and prefilter_new_chained equals the plain anti-join
+    exactly for candidates overlapping both generations."""
+    nb, k = 8, 6
+    a, b = _urls(spark, "gen-a", 300), _urls(spark, "gen-b", 300)
+    bl_a = B.bloom_delta(a, nb, 1 << 10, k)   # old, small generation
+    bl_b = B.bloom_delta(b, nb, 1 << 12, k)   # post-resize generation
+    chain = B.bloom_merge_gens([bl_a, bl_b])
+
+    gens = sorted(r["m_bits"] for r in
+                  chain.select("m_bits").distinct().collect())
+    assert gens == [1 << 10, 1 << 12]
+
+    seen = a.unionByName(b)
+    _new, maybe = B.split_maybe_chained(seen, chain, nb, k)
+    assert _new.count() == 0 and maybe.count() == 600  # no FNs
+
+    cand = seen.unionByName(_urls(spark, "fresh", 200))
+    got = {r["url"] for r in B.prefilter_new_chained(
+        cand, chain, seen, nb, k).collect()}
+    want = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    assert got == want
+
+    # merging two deltas of the SAME m folds into one generation whose
+    # bits equal the bulk build (the within-generation or-merge law)
+    bl_a2 = B.bloom_delta(b, nb, 1 << 10, k)
+    folded = B.bloom_merge_gens([bl_a, bl_a2])
+    bulk = {r["bucket"]: list(r["words"])
+            for r in B.bloom_delta(seen, nb, 1 << 10, k).collect()}
+    assert {r["bucket"]: list(r["words"])
+            for r in folded.collect()} == bulk
+
+
+def test_bloom_chained_single_gen_routes_like_flat(spark):
+    """With exactly one generation the chained probe partitions
+    candidates identically to the flat split_maybe — the chain is a
+    strict generalization, not a different filter."""
+    nb, m, k = 8, 1 << 12, 6
+    seen = _urls(spark, "s", 400)
+    cand = seen.unionByName(_urls(spark, "c", 400))
+    bl = B.bloom_delta(seen, nb, m, k)
+
+    new_f, maybe_f = B.split_maybe(cand, bl, nb, m, k)
+    new_c, maybe_c = B.split_maybe_chained(cand, bl, nb, k)
+    assert ({r["url"] for r in new_f.collect()}
+            == {r["url"] for r in new_c.collect()})
+    assert ({r["url"] for r in maybe_f.collect()}
+            == {r["url"] for r in maybe_c.collect()})
+
+
+def test_fold_bloom_collapses_generations(spark, tmp_path):
+    """fold_bloom (the vacuum-cadence maintenance op): a chained crawl
+    that resized mid-run carries ≥2 generations; folding rewrites the
+    committed snapshot as ONE generation sized for today's seen set,
+    bit-identical to the bulk build, and the healed filter keeps
+    routing with zero false negatives — and the chain can keep
+    growing from the folded base (resume extends, not rebuilds)."""
+    from doccrawler_spark.crawl import (
+        CrawlConfig, _ensure_bloom, crawl, fold_bloom, seen_all,
+    )
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                      seen_buckets=8, bloom_m_bits=0, bloom_min_seen=0,
+                      bloom_bits_per_url=50_000)
+    cat = crawl(spark, web, seeds, os.path.join(str(tmp_path), "c"), cfg)
+    last = cat.committed_rounds(B.BLOOM_TABLE)[-1]
+    before = cat.read(spark, B.BLOOM_TABLE, last)
+    assert before.select("m_bits").distinct().count() >= 2
+
+    folded = fold_bloom(spark, cat, cfg)
+    assert folded.select("m_bits").distinct().count() == 1
+    m = folded.select("m_bits").first()["m_bits"]
+
+    seen_urls = seen_all(spark, cat).select("url").distinct()
+    bulk = {r["bucket"]: list(r["words"])
+            for r in B.bloom_delta(seen_urls, 8, m, cfg.bloom_k).collect()}
+    assert {r["bucket"]: list(r["words"])
+            for r in folded.collect()} == bulk
+
+    # the committed fold is what heals on resume, and it still routes
+    # every seen url to the exact check (no FNs through the fold)
+    healed = _ensure_bloom(spark, cat, cfg, last)
+    new, _maybe = B.split_maybe_chained(seen_urls, healed, 8, cfg.bloom_k)
+    assert new.count() == 0

@@ -442,15 +442,25 @@ def test_compact_index_preserves_results_and_merges_files(spark, tmp_path):
     stats = compact_index(spark, frag)
     assert stats["files_after"] < stats["files_before"]
     # publication is versioned: root still resolves, compacted files
-    # live in the committed version dir, legacy flat files vacuumed
+    # live in the committed version dir; the legacy flat files are the
+    # PREVIOUS version, so they get the same one-generation grace a
+    # versioned prev gets (a concurrent reader mid-scan on the pre-r6
+    # layout keeps every file it listed)
     frag_v = _resolve_index_dir(frag)
     assert frag_v != frag
     assert max(files_per_dir(frag_v).values()) == 1
-    assert not os.path.exists(os.path.join(frag, "_index_meta.json"))
-    assert not any("=" in d.name for d in os.scandir(frag) if d.is_dir())
+    assert os.path.exists(os.path.join(frag, "_index_meta.json"))
+    assert any("=" in d.name for d in os.scandir(frag) if d.is_dir())
     got = [(r["vec_id"], r["cosine"]) for r in
            ivf_topk_indexed(spark, frag, qv, k=10).collect()]
     assert got == want
+    # ...and the NEXT publish vacuums them (grace lasts one generation)
+    compact_index(spark, frag)
+    assert not os.path.exists(os.path.join(frag, "_index_meta.json"))
+    assert not any("=" in d.name for d in os.scandir(frag) if d.is_dir())
+    got2 = [(r["vec_id"], r["cosine"]) for r in
+            ivf_topk_indexed(spark, frag, qv, k=10).collect()]
+    assert got2 == want
 
 
 def test_index_version_protocol(spark, tmp_path):
@@ -505,6 +515,14 @@ def test_index_version_protocol(spark, tmp_path):
     got = [(r["vec_id"], r["cosine"])
            for r in lsh_topk_indexed(spark, d, qv, k=5).collect()]
     assert got == want
+
+    # a dangling pointer (its target lost — e.g. a racing publisher's
+    # vacuum under the pre-r7 protocol) must NOT resolve: index_exists
+    # goes False so the cache-layer heal rebuilds instead of reads
+    # failing forever on a path with no files
+    with open(os.path.join(d, "_current"), "w") as f:
+        f.write("v000099")
+    assert not index_exists(d)
 
 
 def test_ensure_index_heals_and_cleans(spark, tmp_path):
