@@ -126,6 +126,70 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
     }
 
 
+def run_ann_compact_bench(spark, sf_dir: str) -> dict:
+    """Exercise compact_index at bench scale on the 1,030-dir LSH
+    layout (8 bits × 4 tables over sf embeddings): build fresh,
+    FRAGMENT it the way repeated delta appends would (12-way sliced
+    files per bucket dir, published as a normal new version), measure
+    lsh_topk_indexed on the fragmented layout, compact, measure again.
+    Reported separately from the query table — this is maintenance-op
+    evidence (write path + file-count effect + read-latency recovery),
+    not a per-query latency.  Runs in a private tmp dir, never the
+    shared /tmp index cache other processes may be reading."""
+    import tempfile
+
+    from doccrawler_spark.ops.similarity import (
+        _new_version_dir,
+        _publish_index_version,
+        _read_index_meta,
+        _resolve_index_dir,
+        _write_index_meta,
+        compact_index,
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in
+          emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    tmp = tempfile.mkdtemp(
+        prefix="doccrawler_compact_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    out: dict = {}
+    try:
+        root = os.path.join(tmp, "lsh_b8t4")
+        t0 = time.time()
+        write_lsh_index(emb, root, n_bits=8, n_tables=4)
+        out["build_sec"] = round(time.time() - t0, 3)
+
+        base = _resolve_index_dir(root)
+        meta = _read_index_meta(root)
+        frag = spark.read.option("basePath", base).parquet(base)
+        vdir, vname = _new_version_dir(root)
+        (frag.repartition(12).write.mode("overwrite")
+             .partitionBy("band", "key").parquet(vdir))
+        _write_index_meta(vdir, meta)
+        _publish_index_version(root, vname)
+
+        t0 = time.time()
+        lsh_topk_indexed(spark, root, qv, k=10).count()
+        out["query_fragmented_sec"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        stats = compact_index(spark, root)
+        out["compact_sec"] = round(time.time() - t0, 3)
+        out["files_before"] = stats["files_before"]
+        out["files_after"] = stats["files_after"]
+
+        t0 = time.time()
+        lsh_topk_indexed(spark, root, qv, k=10).count()
+        out["query_compacted_sec"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 QUERY_SUBSET = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "minhash_verified", "simhash",
     "embedding_neardup", "cosine_topk", "lsh_topk", "ivf_topk",
@@ -187,6 +251,14 @@ def main() -> None:
                 queries[name] = -1.0
                 print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
 
+    ann_compact: dict = {}
+    if not os.environ.get("BENCH_SKIP_QUERIES") and \
+            not os.environ.get("BENCH_NO_ANN_COMPACT"):
+        try:
+            ann_compact = run_ann_compact_bench(spark, sf_dir)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] ann_compact FAILED: {e}", file=sys.stderr)
+
     total = crawl_stats["crawl_sec"] + sum(v for v in queries.values() if v > 0)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     out = {
@@ -196,6 +268,10 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "crawl": crawl_stats,
+        # maintenance-op evidence (compact_index over the 1,030-dir LSH
+        # layout), deliberately OUTSIDE the headline total: build /
+        # fragment / compact are write-path costs, not query latency
+        "ann_compact": ann_compact,
         "cpus": cpus,
         "urls_fetched_extracted_per_sec": crawl_stats["pages_per_sec"],
     }

@@ -84,6 +84,23 @@ def main() -> None:
                            else None)
     rows = []
     try:
+        # session warm-up, UNTIMED: the first index build of a session
+        # pays JIT / codegen-cache / Python-worker startup (~10 s) that
+        # belongs to the session, not the layout — without this the
+        # smallest corpus's build_sec reads as inverse scaling (the r6
+        # table showed 15.1 s at 2k vs 3.7 s at 50k for that reason)
+        warm = synth_corpus(spark, 1000, args.dim).localCheckpoint(
+            eager=True)
+        wq = warm.filter("vec_id < 2").selectExpr(
+            "vec_id as q_id", "embedding as q_emb")
+        wd = os.path.join(tmp, "warm")
+        write_lsh_index(warm, wd, n_bits=args.n_bits,
+                        n_tables=args.n_tables)
+        knn_join_indexed(spark, wd, wq, k=args.k).collect()
+        knn_join(warm, wq, k=args.k, n_bits=args.n_bits,
+                 n_tables=args.n_tables).collect()
+        shutil.rmtree(wd, ignore_errors=True)
+
         for n in sizes:
             emb = synth_corpus(spark, n, args.dim).localCheckpoint(
                 eager=True
@@ -140,7 +157,8 @@ def main() -> None:
         "with corpus); `knn_join_indexed` reads only the bucket dirs "
         "the batch probes out of the write-time layout (cost pinned "
         "to probed-bucket volume).  Results verified identical per "
-        "cell before timing.",
+        "cell before timing.  An untimed warm-up build+query precedes "
+        "the first cell, so no cell pays session JIT/startup.",
         "",
         "| corpus | index build s | inline knn_join s | "
         "indexed s | speedup |",

@@ -63,6 +63,9 @@ def main() -> None:
     ap.add_argument("--tries", type=int, default=8)
     ap.add_argument("--pages", type=int, default=240000)
     ap.add_argument("--bench-cpus", type=int, default=32)
+    ap.add_argument("--bench-first", action="store_true",
+                    help="run the full bench immediately after the "
+                         "gate fires, before the low pair leg")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH",
                                                   "campaign_r7.json"))
     args = ap.parse_args()
@@ -78,6 +81,17 @@ def main() -> None:
               flush=True)
         if hi["rounds_sec"] >= args.gate:
             continue
+
+        def _full():
+            print(f"[campaign] {time.strftime('%H:%M:%S')} full bench "
+                  f"local[{args.bench_cpus}] (same patch)...", flush=True)
+            return run_bench(args.bench_cpus, pages=None,
+                             skip_queries=False, repeats=1)
+
+        # --bench-first: the full bench's crawl leg is the scarcest
+        # artifact (r7-A's ran last and caught the patch closing) —
+        # run it immediately after the gate fires, pair leg second
+        full = _full() if args.bench_first else None
         lo = run_bench(args.low, args.pages)["crawl"]
         print(f"[campaign] {time.strftime('%H:%M:%S')} local[{args.low}] "
               f"(same patch): rounds {lo['rounds_sec']}s steady "
@@ -87,10 +101,8 @@ def main() -> None:
                / (args.high / args.low))
         print(f"[campaign] paired efficiency {args.low}->{args.high}: "
               f"{eff:.4f}", flush=True)
-        print(f"[campaign] {time.strftime('%H:%M:%S')} full bench "
-              f"local[{args.bench_cpus}] (same patch)...", flush=True)
-        full = run_bench(args.bench_cpus, pages=None, skip_queries=False,
-                         repeats=1)
+        if full is None:
+            full = _full()
         result = {"paired": True, "low": lo, "high": hi,
                   "efficiency_steady": round(eff, 4),
                   "gate": args.gate, "raw_high_rounds_sec": raw_high,

@@ -129,15 +129,52 @@ def stage_simhash_crawl():
     from doccrawler_spark.ops.dedup import simhash64
     simhash64(docs_full).select(F.sum("simhash")).collect()
 
+# r7: indexed bulk-ANN over the CRAWL corpus's embedding space — the
+# production dedup shape at the scale the crawl bench actually
+# produces.  Embed all pages once (hash backend) and lay the space
+# out as a write-time (band,key) LSH index — both UNTIMED setup, the
+# write-once half of write-once-query-many — then the timed cells are
+# one 256-query bulk top-k batch: inline (re-bands the corpus per
+# batch) vs index-side (partition-pruned scan of only probed buckets).
+import shutil as _sh
+import tempfile as _tf
+from doccrawler_spark.ops.similarity import (
+    knn_join, knn_join_indexed, write_lsh_index,
+)
+
+emb_full = (docs_full
+            .withColumn("embedding", Fx.dense_embed_udf(64)(F.col("text")))
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+            .localCheckpoint(eager=True))
+_ann_tmp = _tf.mkdtemp(prefix="stage_ann_",
+                       dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+_ann_root = os.path.join(_ann_tmp, "lsh_b4t4")
+write_lsh_index(emb_full, _ann_root, n_bits=4, n_tables=4)
+q256 = (emb_full.orderBy("vec_id").limit(256)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"))
+        .localCheckpoint(eager=True))
+
+def stage_knn_crawl():
+    knn_join(emb_full, q256, k=5).select(F.sum("vec_id")).collect()
+
+def stage_knn_crawl_indexed():
+    knn_join_indexed(spark, _ann_root, q256, k=5).select(
+        F.sum("vec_id")).collect()
+
 out = {}
 for name, fn in [("scan", stage_scan), ("extract", stage_extract),
                  ("vectorize", stage_vectorize), ("jvm_hash", stage_jvm_hash),
                  ("minhash", stage_minhash), ("minhash_xx", stage_minhash_xx),
                  ("simhash", stage_simhash),
                  ("minhash_crawl", stage_minhash_crawl),
-                 ("simhash_crawl", stage_simhash_crawl)]:
+                 ("simhash_crawl", stage_simhash_crawl),
+                 ("knn_crawl", stage_knn_crawl),
+                 ("knn_crawl_indexed", stage_knn_crawl_indexed)]:
     # the full-corpus cells are ~8x the slice cells: cap at 2 reps
-    reps = min(repeats, 2) if name.endswith("_crawl") else repeats
+    reps = (min(repeats, 2)
+            if name.endswith("_crawl") or name.startswith("knn_")
+            else repeats)
     best = None
     for _ in range(reps):
         t0 = time.time()
@@ -145,6 +182,7 @@ for name, fn in [("scan", stage_scan), ("extract", stage_extract),
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     out[name] = round(best, 2)
+_sh.rmtree(_ann_tmp, ignore_errors=True)
 print("STAGEJSON " + json.dumps(out))
 """
 
@@ -260,7 +298,7 @@ def main() -> None:
         f"| {k} | {lo[k]} | {hi[k]} | {effs[k]} |"
         for k in ["scan", "extract", "vectorize", "jvm_hash", "minhash",
                   "minhash_xx", "simhash", "minhash_crawl",
-                  "simhash_crawl"]
+                  "simhash_crawl", "knn_crawl", "knn_crawl_indexed"]
         if k in lo
     )
     md = f"""# BENCH/STAGES — per-stage strong scaling ({datetime.date.today()})
@@ -294,7 +332,14 @@ groupBy shuffle.
 `jvm_hash` (pure codegen, zero input bytes) and `vectorize` (the
 X7/X8 embed+BM25 job, heavy Python compute per byte) are the
 CPU-bound legs; `extract` sits between (Arrow transfer of every html
-byte around the regex kernel).  On a real 4N-executor cluster every
+byte around the regex kernel).
+The two `knn_crawl*` cells (r7) run one 256-query bulk ANN top-k
+batch over the FULL crawl corpus's embedding space (every page hash-
+embedded, untimed setup): `knn_crawl` re-bands the corpus inline per
+batch, `knn_crawl_indexed` answers from the write-time (band,key) LSH
+layout built once before timing — the flagship crawl→dedup pipeline
+exercising the index-side search at the scale the bench actually
+crawls.  On a real 4N-executor cluster every
 executor brings its own memory bus, so the cpu-stage efficiencies are
 the honest predictor of N->4N executor scaling, and the scan-stage
 ceiling is a single-box emulation artifact — quantified here rather
