@@ -235,6 +235,7 @@ class _CountingHandler(BaseHTTPRequestHandler):
     lock = threading.Lock()
     current: dict = {}
     peak: dict = {}
+    first_seen: dict = {}
     hold_s = 0.08
 
     def do_GET(self):  # noqa: N802 (http.server API)
@@ -245,6 +246,7 @@ class _CountingHandler(BaseHTTPRequestHandler):
         with cls.lock:
             cls.current[host] = cls.current.get(host, 0) + 1
             cls.peak[host] = max(cls.peak.get(host, 0), cls.current[host])
+            cls.first_seen.setdefault(host, _t.monotonic())
         _t.sleep(cls.hold_s)
         body = b"<html><body>ok</body></html>"
         self.send_response(200)
@@ -261,7 +263,8 @@ class _CountingHandler(BaseHTTPRequestHandler):
 @pytest.fixture()
 def counting_server():
     cls = type("C", (_CountingHandler,),
-               {"lock": threading.Lock(), "current": {}, "peak": {}})
+               {"lock": threading.Lock(), "current": {}, "peak": {},
+                "first_seen": {}})
     srv = ThreadingHTTPServer(("127.0.0.1", 0), cls)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -319,3 +322,32 @@ def test_per_host_cap_with_host_partitioning(spark, counting_server):
     assert out.count() == 24
     for h in hosts:
         assert 1 <= cls.peak.get(h, 0) <= 2, cls.peak
+
+
+def test_urllib_drain_interleaves_hosts(counting_server):
+    """Head-of-line regression (r7): the crawl's host repartition hands
+    a task its URL batch host-GROUPED, so a submission-order drain
+    would park every pool worker on the first host's semaphore while
+    the second host's URLs wait — per-host politeness accidentally
+    serializing cross-host work.  The drain must interleave hosts:
+    both hosts' FIRST requests arrive essentially together (not one
+    full per-host drain apart), while each host still respects
+    per_host.  Calls _drain_urllib directly — no Spark, pure pool."""
+    from doccrawler_spark.fetch import HttpFetchConfig, _drain_urllib
+
+    netloc, cls = counting_server
+    port = netloc.rsplit(":", 1)[1]
+    hosts = [netloc, f"localhost:{port}"]
+    # host-grouped batch: all of host A, then all of host B
+    urls = [f"http://{h}/p/{i}" for h in hosts for i in range(12)]
+    cfg = HttpFetchConfig(backend="urllib", concurrency=8, per_host=2,
+                          timeout_s=10, retries=0)
+    rows = _drain_urllib(urls, cfg)
+    assert len(rows) == 24 and all(r[2] == 200 for r in rows)
+    for h in hosts:
+        assert 1 <= cls.peak.get(h, 0) <= 2, cls.peak
+    # serialized head-of-line would start host B only ~5/6 through
+    # host A's 0.48 s drain; interleaved submission starts both within
+    # a request or two of each other
+    spread = abs(cls.first_seen[hosts[0]] - cls.first_seen[hosts[1]])
+    assert spread < 0.2, f"hosts started {spread:.3f}s apart (head-of-line)"
