@@ -90,6 +90,14 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
         # tracks the production gate instead of a duplicated literal.
         bloom_min_seen=0 if os.environ.get("BENCH_BLOOM_FORCE")
         else CrawlConfig.bloom_min_seen,
+        # resize-cost A/B (r7): BENCH_BLOOM_BITS_PER_URL big enough to
+        # cross several pow-4 auto-size steps mid-crawl, then compare
+        # BENCH_BLOOM_UNCHAINED=1 (full from-history rebuild per step,
+        # the pre-r7 behavior) against the default generation-chained
+        # resizes (O(new-delta)) on adjacent legs
+        bloom_bits_per_url=int(os.environ.get(
+            "BENCH_BLOOM_BITS_PER_URL", CrawlConfig.bloom_bits_per_url)),
+        bloom_chained=not os.environ.get("BENCH_BLOOM_UNCHAINED"),
     )
     # the host shows bursty CPU steal (up to 10x on identical jobs) —
     # PROBE-GATED best-of-N (the repo's artifact protocol, BASELINE.md):

@@ -34,6 +34,13 @@ Bloom over cuckoo: the seen set only ever grows (no deletes), inserts
 are bulk/batched, and the or-merge of two Bloom arrays is associative
 — which is what makes the incremental snapshot protocol one zip_with.
 A cuckoo filter's displacement loops would need row-level state.
+
+Resizing (r7): the filter is GENERATION-CHAINED by default (scalable
+Bloom) — when the auto sizer steps m, new deltas open a new
+generation at the new size (rows keyed by their own ``m_bits``) and
+the probe consults every generation, so a resize costs O(new-delta)
+instead of a full frontier-history rescan; see
+:func:`split_maybe_chained` and ``crawl.fold_bloom``.
 """
 
 from __future__ import annotations
@@ -99,21 +106,38 @@ def bloom_delta(
         .groupBy("bucket", "word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
+    # densify in O(entries + m_words): the sorted nonzero entries
+    # become runs of zeros + one word each, flattened.  The r4 shape —
+    # map_from_entries + try_element_at per slot — was O(m_words ×
+    # entries) PER BUCKET because Spark's map lookup on
+    # ArrayBasedMapData is a LINEAR scan (no hash index): invisible at
+    # the 2^16 floor, ~100 s/round once auto-sizing steps m to 2^20
+    # (measured r7, 60k-page crawl, local[16]).  element_at on a
+    # sorted ARRAY is O(1) positional access, so this build touches
+    # every entry once and allocates exactly m_words zeros.
     dense = sparse.groupBy("bucket").agg(
-        F.map_from_entries(
+        F.array_sort(
             F.collect_list(F.struct("word_idx", "word"))
-        ).alias("wm")
+        ).alias("es")
     )
+    runs = f"""
+      flatten(transform(sequence(0, size(es)), j ->
+        CASE WHEN j < size(es) THEN
+          concat(
+            array_repeat(0L,
+              element_at(es, j + 1).word_idx -
+              (CASE WHEN j = 0 THEN 0
+                    ELSE element_at(es, j).word_idx + 1 END)),
+            array(element_at(es, j + 1).word))
+        ELSE
+          array_repeat(0L, {m_words} -
+            (CASE WHEN size(es) = 0 THEN 0
+                  ELSE element_at(es, size(es)).word_idx + 1 END))
+        END))
+    """
     return dense.select(
         "bucket",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m_words - 1)),
-            # try_element_at: ANSI element_at THROWS on a missing map
-            # key, and most word slots are missing in a sparse delta
-            lambda i: F.coalesce(
-                F.try_element_at("wm", i), F.lit(0).cast("bigint")
-            ),
-        ).alias("words"),
+        F.expr(runs).alias("words"),
         # build parameters ride along in every snapshot row (constant,
         # a few bytes after parquet RLE): _ensure_bloom refuses to
         # OR-merge a snapshot whose stored (m_bits, k, n_buckets, fmt)
