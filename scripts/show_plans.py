@@ -270,6 +270,24 @@ def main() -> None:
          "!CartesianProduct"],
     ))
 
+    # 9b. the chained-generation probe (production default,
+    # cfg.bloom_chained): one row of <m_bits, words> structs per
+    # bucket, any-generation EXISTS probe evaluated in codegen; the
+    # static plan may show SMJ for the tiny agg side (stats unknown
+    # post-aggregate) — AQE converts it at runtime from actual sizes,
+    # and at 10^10 the filter co-partitions on bucket instead
+    pre_ch = B.prefilter_new_chained(
+        cand, bloom_df, catalog.seen_table(spark, 8),
+        bcfg.seen_buckets, bcfg.bloom_k,
+    )
+    sections.append((
+        "Chained-generation Bloom prefilter (any-generation probe; "
+        "maybe-seen branch into the exact LeftAnti)",
+        plan_of(pre_ch),
+        ["LeftAnti", "Union", "xxhash64", "exists",
+         "!CartesianProduct"],
+    ))
+
     md = [f"# BENCH/PLANS — physical plans of key operators ({datetime.date.today()})",
           "", "Regenerate with `python scripts/show_plans.py`. Each section lists",
           "the plan properties asserted (`!x` = must be ABSENT; present/absent",
