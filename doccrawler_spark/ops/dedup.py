@@ -524,7 +524,11 @@ def embedding_neardup_pairs(
     )
     return (
         cand
-        .withColumn("cosine", F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6))
+        # try_divide: zero-norm embeddings (empty documents) have no
+        # cosine — NULL fails the threshold and the pair drops, where
+        # ANSI `/` would throw on the first empty page in the corpus
+        .withColumn("cosine", F.round(F.try_divide(
+            dot, norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

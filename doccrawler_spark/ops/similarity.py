@@ -35,9 +35,14 @@ def cosine_topk(
     """Exact brute-force cosine top-k against a literal query vector."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = sum(x * x for x in query_vec) ** 0.5
-    cos = _dot(F.col("embedding"), q) / (F.lit(qn) * _norm(F.col("embedding")))
+    # try_divide: a zero-norm vector (an empty document's hash
+    # embedding — real corpora contain them; ANSI `/` throws) has no
+    # cosine to anything and simply never matches
+    cos = F.try_divide(_dot(F.col("embedding"), q),
+                       F.lit(qn) * _norm(F.col("embedding")))
     return (
         embeddings.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", "label", "cosine")
@@ -702,10 +707,15 @@ def _knn_rank(joined: DataFrame, k: int, salt: int, salted: bool) -> DataFrame:
     :func:`knn_join` for the losslessness argument."""
     from pyspark.sql import Window
 
-    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("q_emb"))
+    # try_divide + NULL-drop: zero-norm vectors (empty documents'
+    # hash embeddings) have no cosine and never match — ANSI `/`
+    # would instead kill the whole job on the first empty page
+    cos = F.try_divide(
+        _dot(F.col("embedding"), F.col("q_emb")),
+        _norm(F.col("embedding")) * _norm(F.col("q_emb")),
     )
-    joined = joined.withColumn("cosine", F.round(cos, 6))
+    joined = (joined.withColumn("cosine", F.round(cos, 6))
+              .filter(F.col("cosine").isNotNull()))
     order = [F.desc("cosine"), F.asc("vec_id")]
     w_q = Window.partitionBy("q_id").orderBy(*order)
     if salted:

@@ -723,3 +723,37 @@ def test_ann_index_layouts_prune_and_match(spark, tmp_path):
     assert rows_of(idx) == base
     p = plan_of(idx)
     assert "PartitionFilters: [" in p and "PartitionFilters: []" not in p
+
+
+def test_ann_tolerates_zero_norm_vectors(spark):
+    """Empty documents hash-embed to all-zero vectors, and a 100-TB
+    corpus always contains empty pages: every cosine operator must
+    treat a zero-norm vector as matching nothing (NULL cosine via
+    try_divide) instead of dying on ANSI division-by-zero — the
+    failure mode the r7 crawl-corpus ANN stage cell actually hit."""
+    import random
+
+    from doccrawler_spark.ops.dedup import embedding_neardup_pairs
+    from doccrawler_spark.ops.similarity import cosine_topk, knn_join
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], "l")
+            for i in range(30)]
+    rows.append((99, [0.0] * 8, "zero"))          # the empty document
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+
+    got = cosine_topk(emb, [1.0] * 8, k=40).collect()
+    assert len(got) == 30                          # zero vec excluded
+    assert all(r["vec_id"] != 99 for r in got)
+
+    q = spark.createDataFrame(
+        [(1, rows[0][1]), (2, [0.0] * 8)],         # incl. a zero QUERY
+        "q_id long, q_emb array<float>")
+    out = knn_join(emb, q, k=3).collect()
+    assert all(r["vec_id"] != 99 for r in out)     # never a neighbor
+    assert all(r["q_id"] != 2 for r in out)        # zero query: no rows
+    assert sum(1 for r in out if r["q_id"] == 1) == 3
+
+    pairs = embedding_neardup_pairs(emb, threshold=-1.0).collect()
+    assert all(99 not in (r["vec_a"], r["vec_b"]) for r in pairs)
