@@ -156,11 +156,13 @@ q256 = (emb_full.orderBy("vec_id").limit(256)
         .localCheckpoint(eager=True))
 
 def stage_knn_crawl():
-    knn_join(emb_full, q256, k=5).select(F.sum("vec_id")).collect()
+    # pmod before sum: vec_id is an xxhash64, raw sums overflow ANSI long
+    knn_join(emb_full, q256, k=5).select(
+        F.sum(F.pmod(F.col("vec_id"), F.lit(1024)))).collect()
 
 def stage_knn_crawl_indexed():
     knn_join_indexed(spark, _ann_root, q256, k=5).select(
-        F.sum("vec_id")).collect()
+        F.sum(F.pmod(F.col("vec_id"), F.lit(1024)))).collect()
 
 out = {}
 for name, fn in [("scan", stage_scan), ("extract", stage_extract),
