@@ -14,6 +14,8 @@ Env knobs:
   BENCH_CRAWL_REPEATS  default 3   (max crawl legs, best-of)
   BENCH_CRAWL_GATE     default 110 (rounds_sec below this = clean
                        patch; stop retrying — the probe-gate protocol)
+  BENCH_QUERY_REPEATS  default 2   (fresh-plan reps per query, best-of;
+                       a >2x spread earns one tiebreak rep)
   BENCH_NO_ANN_COMPACT set to skip the compact_index maintenance pass
 """
 
@@ -261,11 +263,27 @@ def main() -> None:
             qs["knn_join_indexed"](spark, sf_dir).count()
         except Exception:  # pragma: no cover
             pass
+        # best-of-N per query (r8): the crawl leg is probe-gated, but a
+        # single-shot query row let one CPU-steal spike print a 3x
+        # number into the official record (r7: ngram_jaccard 10.1 s vs
+        # 3.3 s for the same code minutes apart).  Each rep REBUILDS
+        # the DataFrame (qs[name](...) returns a fresh plan — re-using
+        # one object would replay cached AQE shuffle stages and fake a
+        # 0.03 s rerun); a rep that disagrees with the best by >2x
+        # earns one extra tiebreak rep.
+        q_reps = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
         for name in QUERY_SUBSET:
-            t0 = time.time()
             try:
-                n = qs[name](spark, sf_dir).count()
-                queries[name] = round(time.time() - t0, 3)
+                times = []
+                for _ in range(max(1, q_reps)):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    times.append(time.time() - t0)
+                if max(times) > 2 * min(times):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    times.append(time.time() - t0)
+                queries[name] = round(min(times), 3)
             except Exception as e:  # pragma: no cover
                 queries[name] = -1.0
                 print(f"[bench] {name} FAILED: {e}", file=sys.stderr)

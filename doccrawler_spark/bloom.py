@@ -225,16 +225,23 @@ def params_match(
     bloom_df: DataFrame, n_buckets: int, m_bits: int, k: int
 ) -> bool:
     """True iff a committed bloom snapshot was built with exactly the
-    given parameters AND the current hash format.  Pre-fmt snapshots
-    (no param columns) and empty frames with missing columns report
-    False → the caller rebuilds from frontier history, which is always
-    safe (cost ∝ |history|, correctness guaranteed).  One LIMIT-1
-    driver-side read of a tiny table — resume-time only."""
+    given parameters AND the current hash format — across EVERY row.
+    A chained snapshot (bloom_chained=True, the default) commits
+    multi-generation rows with mixed ``m_bits``; a flat-mode resume
+    over such a snapshot must NOT pass just because the one sampled
+    row happened to match (probing old-generation arrays at the new m
+    yields silent false negatives).  Pre-fmt snapshots (no param
+    columns) report False → the caller rebuilds from frontier history,
+    which is always safe (cost ∝ |history|, correctness guaranteed).
+    One LIMIT-2 driver-side read of a tiny distinct — resume-time
+    only."""
     if not set(_PARAM_COLS) <= set(bloom_df.columns):
         return False
-    rows = bloom_df.select(*_PARAM_COLS).limit(1).collect()
+    rows = bloom_df.select(*_PARAM_COLS).distinct().limit(2).collect()
     if not rows:  # empty filter: vacuously compatible
         return True
+    if len(rows) != 1:  # mixed params (e.g. a generation chain)
+        return False
     r = rows[0]
     return (r["m_bits"] == m_bits and r["k"] == k
             and r["n_buckets"] == n_buckets and r["fmt"] == _BLOOM_FMT)

@@ -105,6 +105,14 @@ class CrawlConfig:
     # positions inside a generation) and for bloom_chained=False.
     # fold_bloom() collapses an old chain at vacuum time.
     bloom_chained: bool = True
+    # self-maintaining fold cadence (r8): when the committed chain
+    # reaches this many generations, the crawl loop folds it back to
+    # one generation sized for today's seen set.  Generations only
+    # appear on pow-4 auto-resize steps, so hitting the threshold
+    # needs ~4^(n-1) growth past the floor — the history-proportional
+    # fold stays amortized-rare, exactly like the resizes that caused
+    # it.  0 disables (operator folds manually at vacuum time).
+    bloom_fold_gens: int = 8
     # seen-set size below which the Bloom prefilter stays dormant:
     # the per-round delta-build + snapshot commit measured ~7% of a
     # small-corpus round (240k-URL seen set, r5 A/B) while routing
@@ -505,6 +513,29 @@ def _ensure_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
     return catalog.read(spark, B.BLOOM_TABLE, upto_round)
 
 
+def _bloom_generations(catalog: SnapshotCatalog, round_: int) -> int:
+    """Distinct m_bits count of a committed bloom snapshot — the chain
+    length.  Driver-side pyarrow read of the m_bits column only (the
+    table has ≤ buckets·generations rows; the wide words arrays are
+    never materialized), so the per-round fold-cadence check costs no
+    Spark job."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from . import bloom as B
+
+    d = catalog.data_path(B.BLOOM_TABLE, round_)
+    vals: set[int] = set()
+    for name in _os.listdir(d):
+        if name.endswith(".parquet"):
+            vals.update(
+                pq.read_table(_os.path.join(d, name),
+                              columns=["m_bits"])["m_bits"].to_pylist()
+            )
+    return len(vals)
+
+
 def fold_bloom(spark, catalog: SnapshotCatalog, cfg: CrawlConfig,
                upto_round: int | None = None):
     """Collapse a generation-chained Bloom back to ONE generation sized
@@ -775,7 +806,7 @@ def run_round(
             # anti-join.  SURVEY §4.2: Bloom/anti-join split —
             # exactness always comes from the anti-join.
             seen_paths = [
-                catalog.data_dir("frontier", r)
+                catalog.data_path("frontier", r)
                 for r in catalog.committed_rounds("frontier")
                 if r < round_
             ]
@@ -987,6 +1018,28 @@ def crawl(
         dt = time.time() - t0
         rounds_sec += dt
         print(f"[crawl] round {state['round']} in {dt:.1f}s done={state['done']}")
+        # self-maintaining chain fold (r8): a driver-side column-pruned
+        # read of ONLY m_bits (the snapshot has ≤ buckets·generations
+        # rows, so this is a few KB — the fat words arrays never load)
+        # decides whether the chain earned its vacuum-cadence collapse;
+        # the fold itself is the rewrite-safe catalog.write (fresh dir
+        # + manifest swap)
+        if (cfg.bloom_fold_gens and cfg.bloom_chained
+                and cfg.bloom_prefilter):
+            from . import bloom as B
+
+            br = catalog.latest_round(B.BLOOM_TABLE)
+            if (br is not None
+                    and _bloom_generations(catalog, br)
+                    >= cfg.bloom_fold_gens):
+                tf = time.time()
+                fold_bloom(spark, catalog, cfg, upto_round=br)
+                fold_dt = time.time() - tf
+                if timings is not None:
+                    timings["fold_sec"] = round(
+                        timings.get("fold_sec", 0.0) + fold_dt, 2)
+                print(f"[crawl] folded bloom chain at round {br} "
+                      f"in {fold_dt:.1f}s")
     if timings is not None:
         timings["rounds_sec"] = round(rounds_sec, 2)
     return catalog
@@ -995,7 +1048,7 @@ def crawl(
 def crawled_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
     """All crawled pages across rounds (url, site_id, base_url, text,
     depth, round, priority)."""
-    paths = [catalog.data_dir("crawled", r) for r in catalog.committed_rounds("crawled")]
+    paths = [catalog.data_path("crawled", r) for r in catalog.committed_rounds("crawled")]
     if not paths:
         return spark.createDataFrame([], CRAWLED_SCHEMA)
     return spark.read.schema(CRAWLED_SCHEMA).parquet(*paths)
@@ -1009,7 +1062,7 @@ ERRORS_SCHEMA = (
 
 def errors_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
     """All logged crawl errors across rounds (S8 sink)."""
-    paths = [catalog.data_dir("errors", r) for r in catalog.committed_rounds("errors")]
+    paths = [catalog.data_path("errors", r) for r in catalog.committed_rounds("errors")]
     if not paths:
         return spark.createDataFrame([], ERRORS_SCHEMA)
     return spark.read.schema(ERRORS_SCHEMA).parquet(*paths)
@@ -1018,7 +1071,7 @@ def errors_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
 def seen_all(spark: SparkSession, catalog: SnapshotCatalog) -> DataFrame:
     """The URL-seen set = union of per-round frontier deltas
     (url, url_hash, site_id, depth, round)."""
-    paths = [catalog.data_dir("frontier", r) for r in catalog.committed_rounds("frontier")]
+    paths = [catalog.data_path("frontier", r) for r in catalog.committed_rounds("frontier")]
     return (
         spark.read.parquet(*paths)
         .filter(F.col("is_new"))

@@ -45,15 +45,56 @@ class SnapshotCatalog:
     def _manifest_path(self, table: str, round_: int) -> str:
         return os.path.join(self.root, table, f"_r{round_:05d}.manifest.json")
 
+    def _read_manifest(self, table: str, round_: int) -> dict | None:
+        try:
+            with open(self._manifest_path(table, round_)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def data_path(self, table: str, round_: int) -> str:
+        """The snapshot's COMMITTED data directory — follows the
+        manifest's recorded path (a rewrite of a committed round
+        publishes into a fresh uuid-suffixed dir, Iceberg-style),
+        falling back to the deterministic layout for uncommitted
+        rounds and pre-rewrite manifests.  Readers must resolve
+        through this, never ``data_dir``, or they can race a
+        maintenance rewrite."""
+        m = self._read_manifest(table, round_)
+        if m and m.get("path"):
+            return m["path"]
+        return self.data_dir(table, round_)
+
     # ---------------------------------------------------------- write
     def write(self, df, table: str, round_: int, partition_by: list[str] | None = None) -> None:
-        """Write a snapshot and atomically publish its manifest."""
-        path = self.data_dir(table, round_)
+        """Write a snapshot and atomically publish its manifest.
+
+        Rewriting an ALREADY-COMMITTED round (maintenance ops:
+        ``fold_bloom`` at vacuum cadence, ``_ensure_bloom``'s
+        param-drift rebuild) never touches the committed bytes: the
+        data lands in a fresh uuid-suffixed directory and the manifest
+        ``os.replace`` is the commit point.  A crash anywhere before
+        the replace leaves the old snapshot fully readable; a reader
+        mid-scan of the old dir never has files deleted under it — the
+        superseded dir is removed only after the new manifest is
+        visible (best-effort; a leftover is unreferenced garbage, not
+        a torn table)."""
+        prev = self._read_manifest(table, round_)
+        if prev is None:
+            path = self.data_dir(table, round_)
+        else:
+            path = self.data_dir(table, round_) + "." + uuid.uuid4().hex[:8]
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
         self._publish(table, round_, {"path": path, "partition_by": partition_by or []})
+        if prev is not None:
+            import shutil
+
+            old = prev.get("path") or self.data_dir(table, round_)
+            if os.path.realpath(old) != os.path.realpath(path):
+                shutil.rmtree(old, ignore_errors=True)
 
     def _publish(self, table: str, round_: int, payload: dict) -> None:
         payload = dict(payload, table=table, round=round_,
@@ -88,16 +129,25 @@ class SnapshotCatalog:
     def _publish_stream_entry(self, table: str, round_: int) -> None:
         import shutil
 
-        src = self.data_dir(table, round_)
+        src = self.data_path(table, round_)
         dst = os.path.join(self._stream_table_dir(table), f"r{round_:05d}")
         # heal a pre-r4 symlink publication in place (the data files it
         # pointed at are the same committed bytes)
         if os.path.islink(dst):
             os.unlink(dst)
         os.makedirs(dst, exist_ok=True)
-        for name in os.listdir(src):
-            if not name.endswith(".parquet"):
-                continue
+        src_names = {n for n in os.listdir(src) if n.endswith(".parquet")}
+        # a rewrite of a committed round (fold_bloom) renames every part
+        # file; drop superseded names so the stream view stays EXACTLY
+        # the committed bytes (a file stream that already consumed the
+        # old names simply tracked files that no longer exist — safe)
+        for name in os.listdir(dst):
+            if name.endswith(".parquet") and name not in src_names:
+                try:
+                    os.unlink(os.path.join(dst, name))
+                except OSError:
+                    pass
+        for name in sorted(src_names):
             t = os.path.join(dst, name)
             if os.path.exists(t):
                 continue
@@ -141,7 +191,7 @@ class SnapshotCatalog:
             round_ = self.latest_round(table)
         if round_ is None:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
-        return spark.read.parquet(self.data_dir(table, round_))
+        return spark.read.parquet(self.data_path(table, round_))
 
     def exists(self, table: str, round_: int) -> bool:
         return os.path.exists(self._manifest_path(table, round_))
@@ -163,7 +213,7 @@ class SnapshotCatalog:
         record counts)."""
         import pyarrow.parquet as pq
 
-        d = self.data_dir(table, round_)
+        d = self.data_path(table, round_)
         total = 0
         for name in os.listdir(d):
             if name.endswith(".parquet"):
@@ -189,7 +239,7 @@ class SnapshotCatalog:
         import pyarrow.parquet as pq
         import pyarrow.compute as pc
 
-        d = self.data_dir(table, round_)
+        d = self.data_path(table, round_)
         total = 0
         # files with >=1 non-homogeneous group: (path, stats_part, groups)
         mixed_files: list[tuple[str, int, list[int]]] = []

@@ -114,9 +114,17 @@ def stage_simhash():
 # r5: the dedup workhorses over the FULL crawled corpus (all 240k
 # pages the crawl bench builds, not the pages-arg slice) — the
 # dedup family's scaling evidence at the scale the crawl actually
-# produces.  Text only is cached (html bytes excluded).
-docs_full = (full.select(F.xxhash64("url").alias("doc_id"),
-                         F.col("text")).cache())
+# produces.  Text only is cached (html bytes excluded).  Under
+# STAGE_SMOKE the "full" cells run over the tiny slice instead: every
+# cell's CODE PATH executes in seconds, catching first-execution
+# worker bugs (r7 lost two multi-hour runs to an ANSI div-by-zero and
+# a sum overflow that a smoke pass would have caught) without the
+# multi-minute full-corpus embed/minhash setup.
+smoke = os.environ.get("STAGE_SMOKE") == "1"
+only = {s for s in os.environ.get("STAGE_ONLY", "").split(",") if s}
+docs_full = ((web if smoke else full)
+             .select(F.xxhash64("url").alias("doc_id"),
+                     F.col("text")).cache())
 n_full = docs_full.count()
 print(f"[stage worker] full-corpus docs={n_full}", flush=True)
 
@@ -173,6 +181,8 @@ for name, fn in [("scan", stage_scan), ("extract", stage_extract),
                  ("simhash_crawl", stage_simhash_crawl),
                  ("knn_crawl", stage_knn_crawl),
                  ("knn_crawl_indexed", stage_knn_crawl_indexed)]:
+    if only and name not in only:
+        continue
     # the full-corpus cells are ~8x the slice cells: cap at 2 reps
     reps = (min(repeats, 2)
             if name.endswith("_crawl") or name.startswith("knn_")
@@ -212,12 +222,18 @@ def code_stamp() -> str:
         return "unknown"
 
 
-def run_at(cpus: int, pages: int, repeats: int, web_path: str) -> dict:
+def run_at(cpus: int, pages: int, repeats: int, web_path: str,
+           timeout_s: int = 10800, smoke: bool = False,
+           only: str = "") -> dict:
+    # r8: timeout is a parameter — the r7 hardcoded 3600 s killed the
+    # only complete stage run of the round (a local[8] leg with the
+    # knn cells legitimately exceeds an hour in a throttled window)
     env = dict(os.environ, STAGE_REPO=REPO, STAGE_CPUS=str(cpus),
                STAGE_PAGES=str(pages), STAGE_REPEATS=str(repeats),
-               STAGE_WEB=web_path)
+               STAGE_WEB=web_path, STAGE_SMOKE="1" if smoke else "",
+               STAGE_ONLY=only)
     r = subprocess.run([sys.executable, "-c", _WORKER], env=env,
-                       capture_output=True, text=True, timeout=3600)
+                       capture_output=True, text=True, timeout=timeout_s)
     for line in r.stdout.splitlines():
         if line.startswith("STAGEJSON "):
             return json.loads(line[len("STAGEJSON "):])
@@ -249,6 +265,19 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--pages", type=int, default=60000)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--timeout", type=int, default=10800,
+                    help="per-leg subprocess timeout in seconds "
+                         "(r7's hardcoded 3600 killed a legitimate "
+                         "throttled-window local[8] leg)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="execute every cell's code path at tiny scale "
+                         "(full-corpus cells run the slice, repeats=1, "
+                         "no STAGES.md write) — run this before every "
+                         "long leg; two of r7's three failed runs were "
+                         "first-execution worker bugs")
+    ap.add_argument("--only", default="",
+                    help="comma-separated cell names to run (rerun a "
+                         "failed cell without repaying the others)")
     ap.add_argument("--merge-prior", action="store_true",
                     help="min each cell with the numbers already in "
                          "BENCH/STAGES.md (same pages/cores): CPU steal "
@@ -261,9 +290,18 @@ def main() -> None:
     sys.path.insert(0, REPO)
     web_path = ensure_corpus()
 
-    lo = run_at(args.low, args.pages, args.repeats, web_path)
+    if args.smoke:
+        res = run_at(args.high, min(args.pages, 2000), 1, web_path,
+                     timeout_s=args.timeout, smoke=True, only=args.only)
+        print(f"[stages] SMOKE ok at local[{args.high}]: {res}",
+              flush=True)
+        return
+
+    lo = run_at(args.low, args.pages, args.repeats, web_path,
+                timeout_s=args.timeout, only=args.only)
     print(f"[stages] local[{args.low}]: {lo}", flush=True)
-    hi = run_at(args.high, args.pages, args.repeats, web_path)
+    hi = run_at(args.high, args.pages, args.repeats, web_path,
+                timeout_s=args.timeout, only=args.only)
     print(f"[stages] local[{args.high}]: {hi}", flush=True)
 
     stamp = code_stamp()
@@ -276,8 +314,14 @@ def main() -> None:
             if (pj.get("cores") == [args.low, args.high]
                     and pj.get("pages") == args.pages
                     and pj.get("code") == stamp):
-                lo = {k: min(v, pj["low"].get(k, v)) for k, v in lo.items()}
-                hi = {k: min(v, pj["high"].get(k, v)) for k, v in hi.items()}
+                # start from the prior table so an --only rerun merges
+                # its cells without dropping the rest
+                lo = {**pj["low"],
+                      **{k: min(v, pj["low"].get(k, v))
+                         for k, v in lo.items()}}
+                hi = {**pj["high"],
+                      **{k: min(v, pj["high"].get(k, v))
+                         for k, v in hi.items()}}
                 merged_note = (
                     f"\nPer-cell minima MERGED with prior sessions at the "
                     f"same code stamp `{stamp}` (merge keyed on git HEAD: "

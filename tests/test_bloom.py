@@ -434,3 +434,104 @@ def test_fold_bloom_collapses_generations(spark, tmp_path):
     healed = _ensure_bloom(spark, cat, cfg, last)
     new, _maybe = B.split_maybe_chained(seen_urls, healed, 8, cfg.bloom_k)
     assert new.count() == 0
+
+
+def test_params_match_rejects_mixed_generation_snapshot(spark):
+    """ADVICE r7: a chained snapshot commits rows at MIXED m_bits; a
+    flat-mode (bloom_chained=False) resume must never pass params_match
+    just because the one sampled row happened to match — probing
+    old-generation arrays at the new m yields silent false negatives.
+    Mixed-param frames must fail for EVERY candidate m, forcing the
+    safe full rebuild."""
+    nb, k = 8, 6
+    a, b = _urls(spark, "pm-a", 200), _urls(spark, "pm-b", 200)
+    chain = B.bloom_merge_gens([
+        B.bloom_delta(a, nb, 1 << 10, k),
+        B.bloom_delta(b, nb, 1 << 12, k),
+    ])
+    assert not B.params_match(chain, nb, 1 << 10, k)
+    assert not B.params_match(chain, nb, 1 << 12, k)
+    # single-generation snapshots still pass/fail on exact equality
+    flat = B.bloom_delta(a, nb, 1 << 12, k)
+    assert B.params_match(flat, nb, 1 << 12, k)
+    assert not B.params_match(flat, nb, 1 << 10, k)
+
+
+def test_unchained_resume_over_chained_snapshot_rebuilds(spark, tmp_path):
+    """The ADVICE failure end-to-end: crawl chained with a mid-run
+    resize (≥2 generations committed), then heal with
+    bloom_chained=False at a fixed m.  The heal must produce a fresh
+    single-generation rebuild that routes EVERY seen url to the exact
+    check — the r7 limit(1) params_match could accept the mixed
+    snapshot and route ~99% of seen urls definitely_new."""
+    from doccrawler_spark.crawl import (
+        CrawlConfig, _ensure_bloom, crawl, seen_all,
+    )
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+    cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                      seen_buckets=8, bloom_m_bits=0, bloom_min_seen=0,
+                      bloom_bits_per_url=50_000)
+    cat = crawl(spark, web, seeds, os.path.join(str(tmp_path), "c"), cfg)
+    last = cat.committed_rounds(B.BLOOM_TABLE)[-1]
+    chained = cat.read(spark, B.BLOOM_TABLE, last)
+    assert chained.select("m_bits").distinct().count() >= 2
+
+    flat_cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                           seen_buckets=8, bloom_m_bits=1 << 16,
+                           bloom_min_seen=0, bloom_chained=False)
+    healed = _ensure_bloom(spark, cat, flat_cfg, last)
+    ms = [r["m_bits"] for r in healed.select("m_bits").distinct().collect()]
+    assert ms == [1 << 16]
+    seen_urls = seen_all(spark, cat).select("url").distinct()
+    new, _maybe = B.split_maybe(seen_urls, healed, 8, 1 << 16,
+                                flat_cfg.bloom_k)
+    assert new.count() == 0  # zero false negatives through the rebuild
+
+
+def test_bloom_auto_fold_fires_mid_crawl(spark, tmp_path):
+    """r8 self-maintaining cadence: with bloom_fold_gens=2 the crawl
+    loop itself folds the chain as soon as a committed snapshot
+    carries 2 generations — no operator-remembered maintenance — and
+    the fold can never cost exactness (seen set equals the bloom-off
+    crawl).  The fold is observable via the timings hook and via the
+    collapsed generation count of the snapshot it rewrote."""
+    from doccrawler_spark.crawl import CrawlConfig, crawl, seen_all
+    from doccrawler_spark.webgen import gen_seeds, tiny_spec, web_pages_pandas
+
+    spec = tiny_spec()
+    web = spark.createDataFrame(
+        web_pages_pandas(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = [s["seed_url"] for s in gen_seeds(spec)]
+
+    def run(name, **kw):
+        cfg = CrawlConfig(max_depth=3, broadcast_dedup_max_frontier=0,
+                          seen_buckets=8, **kw)
+        t: dict = {}
+        cat = crawl(spark, web, seeds, os.path.join(str(tmp_path), name),
+                    cfg, timings=t)
+        return cat, t, {(r["url"], r["round"], r["depth"])
+                        for r in seen_all(spark, cat).collect()}
+
+    _, _, off = run("off", bloom_prefilter=False)
+    cat, t, folded = run("fold", bloom_m_bits=0, bloom_min_seen=0,
+                         bloom_bits_per_url=50_000, bloom_fold_gens=2)
+    assert folded == off
+    assert t.get("fold_sec") is not None  # the cadence actually fired
+    # every snapshot the fold rewrote carries ONE generation; none may
+    # exceed the threshold the cadence maintains
+    per_round = [
+        cat.read(spark, B.BLOOM_TABLE, r).select("m_bits")
+        .distinct().count()
+        for r in cat.committed_rounds(B.BLOOM_TABLE)
+    ]
+    assert max(per_round) <= 2, per_round
+    assert per_round[-1] == 1, per_round

@@ -236,6 +236,8 @@ class _CountingHandler(BaseHTTPRequestHandler):
     current: dict = {}
     peak: dict = {}
     first_seen: dict = {}
+    done: dict = {}
+    arrival_done: dict = {}
     hold_s = 0.08
 
     def do_GET(self):  # noqa: N802 (http.server API)
@@ -246,7 +248,12 @@ class _CountingHandler(BaseHTTPRequestHandler):
         with cls.lock:
             cls.current[host] = cls.current.get(host, 0) + 1
             cls.peak[host] = max(cls.peak.get(host, 0), cls.current[host])
-            cls.first_seen.setdefault(host, _t.monotonic())
+            if host not in cls.first_seen:
+                cls.first_seen[host] = _t.monotonic()
+                # ordering instrument: how many requests of EVERY host
+                # had fully completed when this host's first arrived —
+                # scheduling-jitter-proof, unlike wall-clock spreads
+                cls.arrival_done[host] = dict(cls.done)
         _t.sleep(cls.hold_s)
         body = b"<html><body>ok</body></html>"
         self.send_response(200)
@@ -255,6 +262,7 @@ class _CountingHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
         with cls.lock:
             cls.current[host] -= 1
+            cls.done[host] = cls.done.get(host, 0) + 1
 
     def log_message(self, *a):
         pass
@@ -264,7 +272,7 @@ class _CountingHandler(BaseHTTPRequestHandler):
 def counting_server():
     cls = type("C", (_CountingHandler,),
                {"lock": threading.Lock(), "current": {}, "peak": {},
-                "first_seen": {}})
+                "first_seen": {}, "done": {}, "arrival_done": {}})
     srv = ThreadingHTTPServer(("127.0.0.1", 0), cls)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -346,8 +354,14 @@ def test_urllib_drain_interleaves_hosts(counting_server):
     assert len(rows) == 24 and all(r[2] == 200 for r in rows)
     for h in hosts:
         assert 1 <= cls.peak.get(h, 0) <= 2, cls.peak
-    # serialized head-of-line would start host B only ~5/6 through
-    # host A's 0.48 s drain; interleaved submission starts both within
-    # a request or two of each other
-    spread = abs(cls.first_seen[hosts[0]] - cls.first_seen[hosts[1]])
-    assert spread < 0.2, f"hosts started {spread:.3f}s apart (head-of-line)"
+    # ORDERING assertion (r8, replacing a wall-clock spread that could
+    # flake under CI scheduling jitter): serialized head-of-line would
+    # start host B only after most of host A's 12 requests COMPLETED
+    # (8 pool workers all parked on A first); interleaved submission
+    # starts each host's first request before the other host has
+    # finished even half its batch.
+    for h, other in (hosts, hosts[::-1]):
+        finished_first = cls.arrival_done[h].get(other, 0)
+        assert finished_first < 6, (
+            f"{other} completed {finished_first}/12 before {h}'s first "
+            f"request arrived (head-of-line)")
