@@ -122,11 +122,25 @@ def stage_simhash():
 # multi-minute full-corpus embed/minhash setup.
 smoke = os.environ.get("STAGE_SMOKE") == "1"
 only = {s for s in os.environ.get("STAGE_ONLY", "").split(",") if s}
-docs_full = ((web if smoke else full)
-             .select(F.xxhash64("url").alias("doc_id"),
-                     F.col("text")).cache())
-n_full = docs_full.count()
-print(f"[stage worker] full-corpus docs={n_full}", flush=True)
+
+# gate the expensive setups on the cell selection: a leg running only
+# the slice cells must not pay the full-corpus cache (or, worse, the
+# 300k-doc embed + LSH index build) — r8's 3h timed-out run paid both
+# for nothing
+def _selected(*names):
+    return not only or bool(only & set(names))
+
+_FULL_CELLS = ("minhash_crawl", "simhash_crawl",
+               "knn_crawl", "knn_crawl_indexed")
+_KNN_CELLS = ("knn_crawl", "knn_crawl_indexed")
+
+docs_full = None
+if _selected(*_FULL_CELLS):
+    docs_full = ((web if smoke else full)
+                 .select(F.xxhash64("url").alias("doc_id"),
+                         F.col("text")).cache())
+    n_full = docs_full.count()
+    print(f"[stage worker] full-corpus docs={n_full}", flush=True)
 
 def stage_minhash_crawl():
     from doccrawler_spark.ops.dedup import minhash_signatures
@@ -150,18 +164,22 @@ from doccrawler_spark.ops.similarity import (
     knn_join, knn_join_indexed, write_lsh_index,
 )
 
-emb_full = (docs_full
-            .withColumn("embedding", Fx.dense_embed_udf(64)(F.col("text")))
-            .select(F.col("doc_id").alias("vec_id"), "embedding")
+emb_full = q256 = _ann_tmp = _ann_root = None
+if _selected(*_KNN_CELLS):
+    emb_full = (docs_full
+                .withColumn("embedding",
+                            Fx.dense_embed_udf(64)(F.col("text")))
+                .select(F.col("doc_id").alias("vec_id"), "embedding")
+                .localCheckpoint(eager=True))
+    _ann_tmp = _tf.mkdtemp(
+        prefix="stage_ann_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    _ann_root = os.path.join(_ann_tmp, "lsh_b4t4")
+    write_lsh_index(emb_full, _ann_root, n_bits=4, n_tables=4)
+    q256 = (emb_full.orderBy("vec_id").limit(256)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_emb"))
             .localCheckpoint(eager=True))
-_ann_tmp = _tf.mkdtemp(prefix="stage_ann_",
-                       dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
-_ann_root = os.path.join(_ann_tmp, "lsh_b4t4")
-write_lsh_index(emb_full, _ann_root, n_bits=4, n_tables=4)
-q256 = (emb_full.orderBy("vec_id").limit(256)
-        .select(F.col("vec_id").alias("q_id"),
-                F.col("embedding").alias("q_emb"))
-        .localCheckpoint(eager=True))
 
 def stage_knn_crawl():
     # pmod before sum: vec_id is an xxhash64, raw sums overflow ANSI long
@@ -194,7 +212,12 @@ for name, fn in [("scan", stage_scan), ("extract", stage_extract),
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     out[name] = round(best, 2)
-_sh.rmtree(_ann_tmp, ignore_errors=True)
+    # per-cell line so a leg that later hits the subprocess timeout
+    # still yields every completed cell (r8: the 3h local[8] leg is
+    # the expensive thing — never lose it whole again)
+    print("CELLJSON " + json.dumps({name: out[name]}), flush=True)
+if _ann_tmp:
+    _sh.rmtree(_ann_tmp, ignore_errors=True)
 print("STAGEJSON " + json.dumps(out))
 """
 
@@ -232,11 +255,39 @@ def run_at(cpus: int, pages: int, repeats: int, web_path: str,
                STAGE_PAGES=str(pages), STAGE_REPEATS=str(repeats),
                STAGE_WEB=web_path, STAGE_SMOKE="1" if smoke else "",
                STAGE_ONLY=only)
-    r = subprocess.run([sys.executable, "-c", _WORKER], env=env,
-                       capture_output=True, text=True, timeout=timeout_s)
-    for line in r.stdout.splitlines():
-        if line.startswith("STAGEJSON "):
-            return json.loads(line[len("STAGEJSON "):])
+
+    def _parse(stdout: str) -> dict:
+        cells: dict = {}
+        for line in stdout.splitlines():
+            if line.startswith("CELLJSON "):
+                cells.update(json.loads(line[len("CELLJSON "):]))
+            elif line.startswith("STAGEJSON "):
+                return json.loads(line[len("STAGEJSON "):])
+        return cells
+
+    try:
+        r = subprocess.run([sys.executable, "-c", _WORKER], env=env,
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        # salvage the completed cells: each printed its own CELLJSON
+        # line before the leg died
+        stdout = (e.stdout or b"")
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        cells = _parse(stdout)
+        if cells:
+            print(f"[stages] local[{cpus}] TIMED OUT after {timeout_s}s; "
+                  f"salvaged {len(cells)} cells: {cells}", flush=True)
+            return cells
+        raise
+    res = _parse(r.stdout)
+    if res:
+        if r.returncode != 0:
+            print(f"[stages] local[{cpus}] worker exited rc={r.returncode} "
+                  f"after {len(res)} cells (salvaged):\n{r.stderr[-2000:]}",
+                  flush=True)
+        return res
     raise RuntimeError(f"stage worker failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
 
 
