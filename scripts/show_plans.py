@@ -106,9 +106,12 @@ def main() -> None:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     sections.append((
-        "knn_join (multi-band equi-join + salted pre-top-k windows, no cartesian)",
+        "knn_join (multi-band cogrouped Arrow-GEMM scorer + bounded "
+        "per-query window, no cartesian; r8 — the expr join+window "
+        "path remains under score='expr')",
         plan_of(knn_join(emb, q, k=5, n_bits=4, n_tables=4)),
-        ["Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+        ["FlatMapCoGroupsInPandas", "Window", "!CartesianProduct",
+         "!BroadcastNestedLoopJoin"],
     ))
 
     # 6b. write-time ANN layouts: the indexed IVF/LSH scans must PRUNE —
@@ -162,21 +165,26 @@ def main() -> None:
     import re as _re
 
     m = _re.search(r"InMemoryFileIndex\((\d+) paths\)", kji_plan)
+    from doccrawler_spark.ops.similarity import _resolve_index_dir
+
     n_layout_dirs = sum(
-        1 for b in os.scandir(f"{idx_root}/knn_lsh") if b.is_dir()
-        for _ in os.scandir(b.path)
+        1 for b in os.scandir(_resolve_index_dir(f"{idx_root}/knn_lsh"))
+        if b.is_dir() for _ in os.scandir(b.path)
     )
     pruned_note = (
         f"(pruned file index: {m.group(1) if m else '?'} paths of "
         f"{n_layout_dirs} layout dirs)"
     )
-    checks = ["PartitionFilters: [", "!PartitionFilters: []",
-              "!CartesianProduct"]
+    # pruning is driver-side path addressing (the file index holds ONLY
+    # probed dirs) — there is no partition-filter pushdown to assert
+    # since r8's cogrouped scorer replaced the (band,key) equi-join
+    checks = ["FlatMapCoGroupsInPandas", "!CartesianProduct"]
     if m and int(m.group(1)) < n_layout_dirs:
         checks.append("InMemoryFileIndex(%s paths)" % m.group(1))
     sections.append((
         "knn_join_indexed (bulk ANN over the write-time (band,key) "
-        "layout: banded query batch ⋈ pruned bucket scan) " + pruned_note,
+        "layout: banded query batch cogrouped with the pruned bucket "
+        "scan) " + pruned_note,
         kji_plan,
         checks,
     ))

@@ -390,6 +390,100 @@ def test_knn_join_indexed_matches_and_prunes(spark, tmp_path):
     assert int(m.group(1)) < n_dirs  # strictly fewer than the layout
 
 
+def test_knn_join_arrow_scorer_matches_expr(spark):
+    """The Arrow-GEMM scorer (r8 default) must return results
+    IDENTICAL to the expr path — both round cosine to 6 decimals
+    before any selection, so float64-GEMM vs sequential-fold LSB
+    drift cannot change a value or a rank.  Covers salted and
+    unsalted, plus zero-norm (empty-doc) vectors dropping on both
+    paths."""
+    import random
+
+    from doccrawler_spark.ops.similarity import knn_join
+
+    rng = random.Random(23)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(150)]
+    rows.append((900, [0.0] * dim))  # zero-norm candidate: never matches
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(
+        [(1000 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+         for i in range(12)] + [(1999, [0.0] * dim)],
+        "q_id long, q_emb array<float>",
+    )
+
+    def rows_of(df):
+        return [(r["q_id"], r["vec_id"], r["rank"], r["cosine"])
+                for r in df.orderBy("q_id", "vec_id").collect()]
+
+    for salted in (False, True):
+        a = rows_of(knn_join(emb, qdf, k=4, n_bits=2, n_tables=3,
+                             salted=salted, score="arrow"))
+        e = rows_of(knn_join(emb, qdf, k=4, n_bits=2, n_tables=3,
+                             salted=salted, score="expr"))
+        assert a == e and len(a) > 0, f"salted={salted}"
+        assert all(r[0] != 1999 and r[1] != 900 for r in a)
+
+
+def test_knn_join_indexed_bulk_batch_root_read(spark, tmp_path):
+    """A bulk query batch that probes most of the keyspace must take
+    the single-root-read path (r8: 1024 per-dir listings cost ~20x one
+    recursive root listing) and still return results identical to
+    inline knn_join — the (band,key) join, not the dir pruning, is
+    what carries the semantics."""
+    import random
+
+    from doccrawler_spark.ops.similarity import (
+        knn_join,
+        knn_join_indexed,
+        write_lsh_index,
+    )
+
+    rng = random.Random(11)
+    dim, n_bits, n_tables, k = 16, 4, 4, 3  # keyspace 64
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    # enough queries that distinct probed (band,key) pairs reach the
+    # >=64-dirs + >=25%-coverage bulk gate
+    qdf = spark.createDataFrame(
+        [(1000 + i, [rng.uniform(-1, 1) for _ in range(dim)])
+         for i in range(128)],
+        "q_id long, q_emb array<float>",
+    )
+    d = str(tmp_path / "knn_lsh_bulk")
+    write_lsh_index(emb, d, n_bits=n_bits, n_tables=n_tables)
+
+    from doccrawler_spark.ops.similarity import _banded
+
+    q = _banded(qdf, "q_emb", n_bits, n_tables, key_prefix="k")
+    n_probed = q.select("band", "key").distinct().count()
+    assert n_probed >= 64 and n_probed * 4 >= n_tables * (1 << n_bits), \
+        f"fixture must exercise the bulk gate (probed {n_probed})"
+
+    def rows_of(df):
+        return [(r["q_id"], r["vec_id"], r["rank"], round(r["cosine"], 5))
+                for r in df.orderBy("q_id", "vec_id").collect()]
+
+    base = rows_of(knn_join(emb, qdf, k=k, n_bits=n_bits,
+                            n_tables=n_tables))
+    assert rows_of(knn_join_indexed(spark, d, qdf, k=k)) == base
+
+    # and the plan really is ONE root, not |dirs| roots
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        knn_join_indexed(spark, d, qdf, k=k).explain()
+    m = re.search(r"InMemoryFileIndex\((\d+) paths\)", buf.getvalue())
+    assert m and int(m.group(1)) == 1
+
+
 def test_compact_index_preserves_results_and_merges_files(spark, tmp_path):
     """compact_index rewrites a fragmented layout into one-big-file
     partition dirs (small-file compaction) without changing any query
