@@ -17,6 +17,7 @@ Env knobs:
   BENCH_QUERY_REPEATS  default 2   (fresh-plan reps per query, best-of;
                        a >2x spread earns one tiebreak rep)
   BENCH_NO_ANN_COMPACT set to skip the compact_index maintenance pass
+  BENCH_NO_HTTP_FETCH  set to skip the loopback real-HTTP fetch cell
 """
 
 from __future__ import annotations
@@ -211,6 +212,80 @@ def run_ann_compact_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def run_http_fetch_bench(spark, cpus: int) -> dict:
+    """Throughput-pin the real-HTTP S3 seam: drain a bounded URL set
+    through `http_fetcher`'s mapInPandas urllib pool against an
+    in-process loopback server spread across 32 host identities
+    (127.0.0.x), with a fixed per-request hold as simulated RTT.  The
+    crawl wiring is mirrored exactly — repartition by host, one host
+    per task at ≤ per_host in flight, cross-host interleaved drain —
+    so the number is the orchestration seam's overhead, not the
+    network's.  Reported OUTSIDE the headline total (the bench crawl
+    uses the table fetcher; this is the other S3 implementation).
+    Deeper cells (per-host sweep, 8-vs-32 pair) live in
+    scripts/http_fetch_probe.py → BENCH/HTTP_FETCH.md."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+
+    n, hosts, hold_ms, per_host = 8000, 32, 20.0, 4
+    body = ("<html><head><title>p</title></head><body>"
+            + "<p>lorem ipsum fetch bench</p>" * 120
+            + "</body></html>").encode()
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            time.sleep(hold_ms / 1000.0)
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # pragma: no cover
+            pass
+
+    srv = ThreadingHTTPServer(("0.0.0.0", 0), _H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rows = [(f"http://127.0.0.{1 + i % hosts}:{port}/page/{i}",
+                 f"127.0.0.{1 + i % hosts}:{port}") for i in range(n)]
+        df = spark.createDataFrame(rows, "url string, host string")
+        fetch = http_fetcher(HttpFetchConfig(
+            backend="urllib", concurrency=8, per_host=per_host,
+            timeout_s=60, retries=0))
+        # untimed warm-up: Python-worker import + first connections
+        warm = spark.createDataFrame(rows[:64], "url string, host string")
+        fetch(warm.repartition(hosts, F.col("host")).select("url")).count()
+
+        t0 = time.time()
+        got = (fetch(df.repartition(hosts, F.col("host")).select("url"))
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.when(F.col("html").isNull(), 1).otherwise(0))
+                    .alias("misses")).collect()[0])
+        dt = time.time() - t0
+    finally:
+        srv.shutdown()
+    if got["n"] != n or got["misses"]:
+        raise RuntimeError(f"http fetch bench lost pages: {got}")
+    return {
+        "urls": n,
+        "hosts": hosts,
+        "hold_ms": hold_ms,
+        "per_host": per_host,
+        "fetch_sec": round(dt, 2),
+        "pages_per_sec": round(n / dt, 1),
+        # every running task serves one host at ≤ per_host in flight,
+        # each request held hold_ms at the server — the politeness
+        # ceiling this wiring can never exceed
+        "ceiling_pages_per_sec": round(
+            min(cpus, hosts) * per_host / (hold_ms / 1000.0), 1),
+    }
+
+
 QUERY_SUBSET = [
     "exact_dedup", "ngram_jaccard", "minhash_lsh", "minhash_verified", "simhash",
     "embedding_neardup", "cosine_topk", "lsh_topk", "ivf_topk",
@@ -296,6 +371,14 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"[bench] ann_compact FAILED: {e}", file=sys.stderr)
 
+    http_fetch: dict = {}
+    if not os.environ.get("BENCH_SKIP_QUERIES") and \
+            not os.environ.get("BENCH_NO_HTTP_FETCH"):
+        try:
+            http_fetch = run_http_fetch_bench(spark, cpus)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] http_fetch FAILED: {e}", file=sys.stderr)
+
     total = crawl_stats["crawl_sec"] + sum(v for v in queries.values() if v > 0)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     out = {
@@ -309,6 +392,9 @@ def main() -> None:
         # layout), deliberately OUTSIDE the headline total: build /
         # fragment / compact are write-path costs, not query latency
         "ann_compact": ann_compact,
+        # real-HTTP S3 seam throughput vs its politeness ceiling
+        # (loopback server, simulated RTT) — also outside the total
+        "http_fetch": http_fetch,
         "cpus": cpus,
         "urls_fetched_extracted_per_sec": crawl_stats["pages_per_sec"],
     }

@@ -164,7 +164,18 @@ from doccrawler_spark.ops.similarity import (
     knn_join, knn_join_indexed, write_lsh_index,
 )
 
-emb_full = q256 = _ann_tmp = _ann_root = None
+# Banding at the bench layout's b8t4, NOT knn_join's b4 default: at
+# 300k docs a 4-bit band keeps ~1/16 of the corpus as candidates, so
+# 256 queries meant ~19M interpreted 64-dim cosine evals per rep —
+# the r8 local[8] leg burned 40+ CPU-minutes inside
+# ArrayTransform.nullSafeEval before being killed.  8-bit bands are
+# the production shape at this scale (the candidate volume, not the
+# scan, is what LSH must bound).
+knn_bits = int(os.environ.get("STAGE_KNN_BITS", "8"))
+knn_tables = int(os.environ.get("STAGE_KNN_TABLES", "4"))
+knn_queries = int(os.environ.get("STAGE_KNN_QUERIES", "256"))
+
+emb_full = qknn = _ann_tmp = _ann_root = None
 if _selected(*_KNN_CELLS):
     emb_full = (docs_full
                 .withColumn("embedding",
@@ -174,20 +185,26 @@ if _selected(*_KNN_CELLS):
     _ann_tmp = _tf.mkdtemp(
         prefix="stage_ann_",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
-    _ann_root = os.path.join(_ann_tmp, "lsh_b4t4")
-    write_lsh_index(emb_full, _ann_root, n_bits=4, n_tables=4)
-    q256 = (emb_full.orderBy("vec_id").limit(256)
+    _ann_root = os.path.join(_ann_tmp, f"lsh_b{knn_bits}t{knn_tables}")
+    t0 = time.time()
+    write_lsh_index(emb_full, _ann_root, n_bits=knn_bits,
+                    n_tables=knn_tables)
+    print(f"[stage worker] knn setup: embed+index "
+          f"b{knn_bits}t{knn_tables} in {time.time() - t0:.1f}s",
+          flush=True)
+    qknn = (emb_full.orderBy("vec_id").limit(knn_queries)
             .select(F.col("vec_id").alias("q_id"),
                     F.col("embedding").alias("q_emb"))
             .localCheckpoint(eager=True))
 
 def stage_knn_crawl():
     # pmod before sum: vec_id is an xxhash64, raw sums overflow ANSI long
-    knn_join(emb_full, q256, k=5).select(
+    knn_join(emb_full, qknn, k=5, n_bits=knn_bits,
+             n_tables=knn_tables).select(
         F.sum(F.pmod(F.col("vec_id"), F.lit(1024)))).collect()
 
 def stage_knn_crawl_indexed():
-    knn_join_indexed(spark, _ann_root, q256, k=5).select(
+    knn_join_indexed(spark, _ann_root, qknn, k=5).select(
         F.sum(F.pmod(F.col("vec_id"), F.lit(1024)))).collect()
 
 out = {}
@@ -265,30 +282,35 @@ def run_at(cpus: int, pages: int, repeats: int, web_path: str,
                 return json.loads(line[len("STAGEJSON "):])
         return cells
 
-    try:
-        r = subprocess.run([sys.executable, "-c", _WORKER], env=env,
-                           capture_output=True, text=True,
-                           timeout=timeout_s)
-    except subprocess.TimeoutExpired as e:
-        # salvage the completed cells: each printed its own CELLJSON
-        # line before the leg died
-        stdout = (e.stdout or b"")
-        if isinstance(stdout, bytes):
-            stdout = stdout.decode(errors="replace")
-        cells = _parse(stdout)
+    # stream the worker's output to a side file instead of a pipe:
+    # a multi-hour leg is tail-able live (which cell is it on?), and
+    # on timeout/crash the file IS the salvage source — r8's first
+    # 3h timed-out leg was a black box until it died
+    live_log = f"/tmp/stage_worker_{cpus}.log"
+    timed_out = False
+    with open(live_log, "w", buffering=1) as lf:
+        try:
+            r = subprocess.run([sys.executable, "-c", _WORKER], env=env,
+                               stdout=lf, stderr=subprocess.STDOUT,
+                               text=True, timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            timed_out = True
+    out_txt = open(live_log).read()
+    cells = _parse(out_txt)
+    if timed_out:
         if cells:
             print(f"[stages] local[{cpus}] TIMED OUT after {timeout_s}s; "
                   f"salvaged {len(cells)} cells: {cells}", flush=True)
             return cells
-        raise
-    res = _parse(r.stdout)
-    if res:
+        raise RuntimeError(
+            f"stage worker timed out with zero cells; tail:\n{out_txt[-2000:]}")
+    if cells:
         if r.returncode != 0:
             print(f"[stages] local[{cpus}] worker exited rc={r.returncode} "
-                  f"after {len(res)} cells (salvaged):\n{r.stderr[-2000:]}",
+                  f"after {len(cells)} cells (salvaged):\n{out_txt[-2000:]}",
                   flush=True)
-        return res
-    raise RuntimeError(f"stage worker failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+        return cells
+    raise RuntimeError(f"stage worker failed:\n{out_txt[-2000:]}")
 
 
 def ensure_corpus(pages_in_corpus: int = 240_000) -> str:
