@@ -10,10 +10,16 @@ hold (simulated network RTT), so the orchestration itself is what's
 timed: host-repartitioned tasks, per-host politeness semaphores,
 cross-host round-robin interleave, bounded thread pools.
 
-Each cell runs in its own subprocess (fresh JVM + fresh server).
+Each cell runs in its own subprocess (fresh JVM + fresh server farm).
 URLs spread across 64 loopback hosts (127.0.0.x aliases); the crawl
 wiring is mirrored exactly: repartition by host, one host's URLs
-drain on one task at ≤ per_host in flight.
+drain on one task at ≤ per_host in flight.  The server side is a FARM
+of independent server processes (hosts sharded across them) — a
+single ThreadingHTTPServer is GIL-bound near ~1k requests/s, which
+would cap the measurement at exactly the point where the client
+orchestration starts to matter (observed: the single-server draft of
+this probe pinned every local[32] cell at 840-990 pages/s regardless
+of per_host).
 
 Theoretical ceiling per cell = running_tasks × per_host / hold; the
 probe reports measured pages/s against it.  The parallelism pair
@@ -37,19 +43,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_WORKER = r"""
-import json, os, sys, threading, time
+_SERVER = r"""
+import sys, time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-sys.path.insert(0, os.environ["PROBE_REPO"])
-
-n = int(os.environ["PROBE_N"])
-hosts = int(os.environ["PROBE_HOSTS"])
-hold_s = float(os.environ["PROBE_HOLD_MS"]) / 1000.0
-cpus = int(os.environ["PROBE_CPUS"])
-conc = int(os.environ["PROBE_CONC"])
-per_host = int(os.environ["PROBE_PER_HOST"])
-
+hold_s = float(sys.argv[1])
 BODY = ("<html><head><title>p</title></head><body>" +
         "<p>lorem ipsum fetch probe</p>" * 120 + "</body></html>"
         ).encode()
@@ -68,36 +66,71 @@ class H(BaseHTTPRequestHandler):
 
 
 srv = ThreadingHTTPServer(("0.0.0.0", 0), H)
-port = srv.server_address[1]
-threading.Thread(target=srv.serve_forever, daemon=True).start()
+print(srv.server_address[1], flush=True)
+srv.serve_forever()
+"""
 
-from pyspark.sql import functions as F
-from doccrawler_spark.session import get_spark
-from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+_WORKER = r"""
+import json, os, subprocess, sys, time
 
-spark = get_spark(app_name=f"http_probe_{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=hosts)
+sys.path.insert(0, os.environ["PROBE_REPO"])
 
-rows = [(f"http://127.0.0.{1 + i % hosts}:{port}/page/{i}",
-         f"127.0.0.{1 + i % hosts}:{port}") for i in range(n)]
-df = spark.createDataFrame(rows, "url string, host string")
-fetch = http_fetcher(HttpFetchConfig(
-    backend="urllib", concurrency=conc, per_host=per_host,
-    timeout_s=60, retries=0,
-))
+n = int(os.environ["PROBE_N"])
+hosts = int(os.environ["PROBE_HOSTS"])
+hold_s = float(os.environ["PROBE_HOLD_MS"]) / 1000.0
+cpus = int(os.environ["PROBE_CPUS"])
+conc = int(os.environ["PROBE_CONC"])
+per_host = int(os.environ["PROBE_PER_HOST"])
+n_servers = int(os.environ["PROBE_SERVERS"])
 
-# untimed warm-up: Python-worker import + first connections
-warm = spark.createDataFrame(rows[:64], "url string, host string")
-fetch(warm.repartition(hosts, F.col("host")).select("url")).count()
+# server FARM: shard the host identities across independent server
+# processes so the GIL of any one server never caps the client side
+servers = []
+ports = []
+for _ in range(n_servers):
+    p = subprocess.Popen(
+        [sys.executable, "-c", os.environ["PROBE_SERVER_SRC"],
+         str(hold_s)],
+        stdout=subprocess.PIPE, text=True)
+    ports.append(int(p.stdout.readline()))
+    servers.append(p)
 
-t0 = time.time()
-got = (fetch(df.repartition(hosts, F.col("host")).select("url"))
-       .agg(F.count("*").alias("n"),
-            F.sum(F.when(F.col("html").isNull(), 1).otherwise(0))
-            .alias("misses"),
-            F.sum(F.length("html")).alias("bytes")).collect()[0])
-dt = time.time() - t0
-srv.shutdown()
+
+def host_of(i):
+    h = i % hosts
+    return f"127.0.0.{1 + h}:{ports[h % n_servers]}"
+
+
+try:
+    from pyspark.sql import functions as F
+    from doccrawler_spark.session import get_spark
+    from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+
+    spark = get_spark(app_name=f"http_probe_{cpus}",
+                      master=f"local[{cpus}]", shuffle_partitions=hosts)
+
+    rows = [(f"http://{host_of(i)}/page/{i}", host_of(i))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    fetch = http_fetcher(HttpFetchConfig(
+        backend="urllib", concurrency=conc, per_host=per_host,
+        timeout_s=60, retries=0,
+    ))
+
+    # untimed warm-up: Python-worker import + first connections
+    warm = spark.createDataFrame(rows[:256], "url string, host string")
+    fetch(warm.repartition(hosts, F.col("host")).select("url")).count()
+
+    t0 = time.time()
+    got = (fetch(df.repartition(hosts, F.col("host")).select("url"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.when(F.col("html").isNull(), 1).otherwise(0))
+                .alias("misses"),
+                F.sum(F.length("html")).alias("bytes")).collect()[0])
+    dt = time.time() - t0
+finally:
+    for p in servers:
+        p.terminate()
 assert got["n"] == n and got["misses"] == 0, (got["n"], got["misses"])
 print("PROBEJSON " + json.dumps({
     "fetch_sec": round(dt, 2),
@@ -108,11 +141,12 @@ print("PROBEJSON " + json.dumps({
 
 
 def run_cell(cpus: int, conc: int, per_host: int, n: int, hosts: int,
-             hold_ms: float) -> dict:
+             hold_ms: float, n_servers: int = 12) -> dict:
     env = dict(os.environ, PROBE_REPO=REPO, PROBE_N=str(n),
                PROBE_HOSTS=str(hosts), PROBE_HOLD_MS=str(hold_ms),
                PROBE_CPUS=str(cpus), PROBE_CONC=str(conc),
-               PROBE_PER_HOST=str(per_host))
+               PROBE_PER_HOST=str(per_host),
+               PROBE_SERVERS=str(n_servers), PROBE_SERVER_SRC=_SERVER)
     r = subprocess.run([sys.executable, "-c", _WORKER], env=env,
                        capture_output=True, text=True, timeout=1800)
     for line in r.stdout.splitlines():
@@ -140,14 +174,16 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.smoke:
-        cell = run_cell(8, 8, 4, 512, 16, 10.0)
+        cell = run_cell(8, 8, 4, 512, 16, 10.0, n_servers=4)
         print(f"[http-probe] SMOKE ok: {cell}")
         return
 
     # (cpus, concurrency, per_host): the 8→32 pair is the IO-stage
     # scaling leg; the per_host sweep shows the politeness cap, not
-    # the pool, bounding throughput
-    cells = [(8, 8, 4), (32, 8, 4), (32, 8, 2), (32, 8, 8)]
+    # the pool, bounding throughput.  The per_host=8 cell gets a
+    # 16-thread pool so a hash-collision partition holding two hosts
+    # is politeness-capped, not pool-capped.
+    cells = [(8, 8, 4), (32, 8, 4), (32, 8, 2), (32, 16, 8)]
     rows = []
     for cpus, conc, ph in cells:
         cell = run_cell(cpus, conc, ph, args.n, args.hosts, args.hold_ms)
@@ -157,16 +193,24 @@ def main() -> None:
     pair = {c["cpus"]: c for c in rows if c["per_host"] == 4}
     eff = round((pair[32]["pages_per_sec"] / pair[8]["pages_per_sec"])
                 / (32 / 8), 3)
+    util = {cp: round(c["pages_per_sec"] / c["ceiling_pages_per_sec"], 2)
+            for cp, c in pair.items()}
     lines = [
         f"# Real-HTTP fetch-stage throughput "
         f"(`scripts/http_fetch_probe.py`, {datetime.date.today()})",
         "",
-        f"{args.n:,} URLs across {args.hosts} loopback hosts, "
-        f"{args.hold_ms:.0f} ms simulated RTT per request, urllib "
-        "backend, crawl wiring (host repartition → one host per task "
-        "at ≤ per_host in flight, cross-host interleaved drain).  "
-        "Each cell is a fresh JVM + fresh server; an untimed 64-URL "
-        "warm-up precedes the timed fetch; zero misses asserted.",
+        f"{args.n:,} URLs across {args.hosts} loopback hosts sharded "
+        "over a 12-process server farm (a single GIL-bound server "
+        f"caps near ~1k pages/s), {args.hold_ms:.0f} ms simulated RTT "
+        "per request, urllib backend, crawl wiring (host repartition "
+        "→ one host per task at ≤ per_host in flight, cross-host "
+        "interleaved drain).  Each cell is a fresh JVM + fresh farm; "
+        "an untimed 256-URL warm-up precedes the timed fetch; zero "
+        "misses asserted.  The ceiling is the ideal "
+        "one-host-per-task figure min(N, hosts)·per_host/RTT; hash "
+        "collisions in the host repartition can locally exceed it "
+        "(a task holding two hosts legally runs 2·per_host in "
+        "flight).",
         "",
         "| local[N] | concurrency | per_host | fetch s | pages/s "
         "| politeness ceiling pages/s |",
@@ -180,7 +224,12 @@ def main() -> None:
     lines += [
         "",
         f"8→32 scaling efficiency at per_host=4: **{eff}** "
-        "(pages/s ratio ÷ core ratio).  The fetch stage is "
+        "(pages/s ratio ÷ core ratio).  Each leg's honest bound is "
+        f"its OWN politeness ceiling — utilization local[8] "
+        f"{util[8]}, local[32] {util[32]}: when the low leg sits at "
+        "or above its ceiling (politeness-capped, with collision "
+        "slack), the pair efficiency understates pure "
+        "thread-scaling.  The fetch stage is "
         "IO-orchestration, not byte-moving — it holds open sockets and "
         "sleeps on politeness semaphores — so unlike the scan/extract "
         "stages it does not compete for the single box's memory bus, "
