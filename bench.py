@@ -139,6 +139,9 @@ def run_crawl_bench(spark, n_pages: int) -> dict:
         "crawl_sec": round(crawl_s, 2),
         "seed_sec": timings.get("seed_sec"),
         "rounds_sec": timings.get("rounds_sec"),
+        # post-loop snapshot compaction (compact_on_done): inside
+        # crawl_sec but outside rounds_sec/steady throughput
+        "compact_sec": timings.get("compact_sec"),
         "pages_crawled": n_crawled,
         "pages_per_sec": round(n_crawled / crawl_s, 2) if crawl_s else None,
         # steady-state: seeding is a fixed cost that vanishes at scale

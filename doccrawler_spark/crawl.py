@@ -120,6 +120,17 @@ class CrawlConfig:
     # stats-gate family as knn_join's salted windows.  At 10^6+ seen
     # URLs the filter engages automatically; tests force 0.
     bloom_min_seen: int = 1_000_000
+    # small-file maintenance (r8): when the crawl finishes, rewrite
+    # each committed crawled/errors round into right-sized files via
+    # catalog.compact (footer-planned, atomic manifest swap — the
+    # Iceberg rewrite_data_files analogue).  A round is written with
+    # shuffle-partition-many files; over hundreds of rounds the
+    # downstream crawled_all scan pays thousands of file opens/footer
+    # reads before the first row.  Runs AFTER the loop (the table is
+    # read-heavy from then on) and is timed separately
+    # (timings["compact_sec"]), so rounds_sec stays comparable.
+    # False disables (operator compacts manually at vacuum cadence).
+    compact_on_done: bool = True
     # frontier-size cutoff below which fetch uses an IN-list point
     # lookup (parquet row-group stats pruning — the CDX-index pattern:
     # a 12-URL round must not decode the whole corpus) instead of
@@ -1042,6 +1053,25 @@ def crawl(
                       f"in {fold_dt:.1f}s")
     if timings is not None:
         timings["rounds_sec"] = round(rounds_sec, 2)
+    # finalize maintenance (r8): the crawl output flips read-heavy the
+    # moment the loop exits — compact every committed round of the two
+    # append-forever tables so crawled_all()/errors_all() open few
+    # right-sized files instead of rounds×shuffle-partitions tiny ones.
+    # Planning is parquet-footer-only and already-compacted rounds are
+    # skipped, so a resume that adds nothing costs only footer reads.
+    if cfg.compact_on_done and state["done"]:
+        tc = time.time()
+        stats = {}
+        for table in ("crawled", "errors", "frontier"):
+            stats.update({(table, r): v for r, v in
+                          catalog.compact(spark, table).items()})
+        if timings is not None:
+            timings["compact_sec"] = round(time.time() - tc, 2)
+        if stats:
+            nb = sum(b for b, _ in stats.values())
+            na = sum(a for _, a in stats.values())
+            print(f"[crawl] compacted {len(stats)} snapshots: "
+                  f"{nb} -> {na} files in {time.time() - tc:.1f}s")
     return catalog
 
 

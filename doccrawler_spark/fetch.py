@@ -98,11 +98,44 @@ class HttpFetchConfig:
     retries: int = 1             # extra attempts on transport errors
     user_agent: str = "doccrawler-spark/0.1"
     backend: str = "auto"        # auto | aiohttp | urllib
+    # server-throttle statuses retried with backoff (all other HTTP
+    # errors are final on the first response); a 429/503 Retry-After
+    # header is honored when parseable, clamped to max_backoff_s
+    retry_statuses: tuple[int, ...] = (429, 503)
+    backoff_s: float = 0.5       # base of the exponential fallback
+    max_backoff_s: float = 30.0  # clamp on Retry-After AND the fallback
+
+
+def _retry_delay_s(retry_after: str | None, attempt: int,
+                   cfg: HttpFetchConfig) -> float:
+    """Seconds to back off before retry ``attempt`` (0-based): the
+    server's Retry-After when parseable (delta-seconds or HTTP-date,
+    RFC 9110 §10.2.3), else exponential from ``backoff_s``; always
+    clamped to [0, max_backoff_s] — a hostile/buggy header must not
+    park an executor thread for an hour."""
+    delay = cfg.backoff_s * (2 ** attempt)
+    if retry_after:
+        try:
+            delay = float(retry_after.strip())
+        except ValueError:
+            try:
+                from email.utils import parsedate_to_datetime
+
+                delay = (parsedate_to_datetime(retry_after).timestamp()
+                         - time.time())
+            except (TypeError, ValueError):
+                pass
+    return max(0.0, min(delay, cfg.max_backoff_s))
 
 
 def _fetch_one_urllib(url: str, cfg: HttpFetchConfig):
     """One GET via stdlib urllib: returns (html, status, error).  Never
-    raises — every failure mode becomes an error row."""
+    raises — every failure mode becomes an error row.  Server-throttle
+    statuses (cfg.retry_statuses: 429/503) are retried with
+    Retry-After-aware backoff; the sleep happens while the caller's
+    per-host semaphore slot is HELD, which is deliberate — a host
+    answering 429 gets its effective concurrency reduced, not a
+    different request hammered into the freed slot."""
     import urllib.error
     import urllib.request
 
@@ -110,15 +143,23 @@ def _fetch_one_urllib(url: str, cfg: HttpFetchConfig):
         url, headers={"User-Agent": cfg.user_agent}
     )
     last_err = "unreachable"
-    for _ in range(1 + max(0, cfg.retries)):
+    retries = max(0, cfg.retries)
+    for attempt in range(1 + retries):
         try:
             with urllib.request.urlopen(req, timeout=cfg.timeout_s) as r:
                 body = r.read(cfg.max_bytes)
                 return body, int(r.status), None
         except urllib.error.HTTPError as e:  # got a response, bad code
-            return None, int(e.code), f"http {e.code}"
-        except Exception as e:  # transport: retry then report
+            code = int(e.code)
+            if code in cfg.retry_statuses and attempt < retries:
+                time.sleep(_retry_delay_s(
+                    e.headers.get("Retry-After"), attempt, cfg))
+                continue
+            return None, code, f"http {code}"
+        except Exception as e:  # transport: back off, retry, report
             last_err = f"{type(e).__name__}: {e}"
+            if attempt < retries:
+                time.sleep(_retry_delay_s(None, attempt, cfg))
     return None, None, last_err
 
 
@@ -179,18 +220,29 @@ def _drain_aiohttp(urls: list[str], cfg: HttpFetchConfig):
     async def one(session, sem, u: str):
         t0 = time.monotonic()
         last_err = "unreachable"
-        for _ in range(1 + max(0, cfg.retries)):
+        retries = max(0, cfg.retries)
+        for attempt in range(1 + retries):
             try:
                 async with sem, session.get(u) as r:
                     body = await r.content.read(cfg.max_bytes)
-                    if r.status >= 400:
+                    if (int(r.status) in cfg.retry_statuses
+                            and attempt < retries):
+                        delay = _retry_delay_s(
+                            r.headers.get("Retry-After"), attempt, cfg)
+                    elif r.status >= 400:
                         return (u, None, int(r.status),
                                 f"http {r.status}",
                                 (time.monotonic() - t0) * 1e3)
-                    return (u, body, int(r.status), None,
-                            (time.monotonic() - t0) * 1e3)
+                    else:
+                        return (u, body, int(r.status), None,
+                                (time.monotonic() - t0) * 1e3)
+                # backoff OUTSIDE the connection context (the pooled
+                # connection goes back) but inside the loop
+                await asyncio.sleep(delay)
             except Exception as e:
                 last_err = f"{type(e).__name__}: {e}"
+                if attempt < retries:
+                    await asyncio.sleep(_retry_delay_s(None, attempt, cfg))
         return u, None, None, last_err, (time.monotonic() - t0) * 1e3
 
     async def run():

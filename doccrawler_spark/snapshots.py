@@ -288,6 +288,47 @@ class SnapshotCatalog:
                 total += pc.sum(pc.cast(t[column], "int64")).as_py() or 0
         return total
 
+    # ---------------------------------------------------- maintenance
+    def compact(self, spark, table: str, rounds: list[int] | None = None,
+                target_rows_per_file: int = 4_000_000,
+                min_files: int = 2) -> dict[int, tuple[int, int]]:
+        """Rewrite committed snapshots of ``table`` into few right-sized
+        files — the small-file maintenance op for crawl outputs (the
+        Iceberg ``rewrite_data_files`` analogue, like ``compact_index``
+        for the ANN layouts).  A crawl writes shuffle-partition-many
+        files per round; over hundreds of rounds ``crawled_all`` reads
+        thousands of tiny files whose open/footer cost dominates the
+        scan.  Each round is rewritten through :meth:`write`'s
+        committed-round path, so the swap is ATOMIC (fresh uuid dir +
+        manifest replace; a crash leaves the old snapshot readable) and
+        the stream view re-publishes to exactly the new bytes.
+
+        Per-round file targets come from parquet FOOTER row counts (no
+        Spark job for the planning pass).  Rounds already at or below
+        the target, below ``min_files``, or written with a
+        ``partition_by`` layout (none of the crawl tables today) are
+        left untouched.  Returns {round: (files_before, files_after)}
+        for the rounds rewritten."""
+        out: dict[int, tuple[int, int]] = {}
+        for r in (rounds if rounds is not None
+                  else self.committed_rounds(table)):
+            m = self._read_manifest(table, r)
+            if m is None or m.get("partition_by"):
+                continue
+            d = self.data_path(table, r)
+            before = [n for n in os.listdir(d) if n.endswith(".parquet")]
+            if len(before) < max(2, min_files):
+                continue
+            n_rows = self.count(table, r)
+            n_files = max(1, -(-n_rows // max(1, target_rows_per_file)))
+            if n_files >= len(before):
+                continue
+            self.write(spark.read.parquet(d).coalesce(n_files), table, r)
+            after = [n for n in os.listdir(self.data_path(table, r))
+                     if n.endswith(".parquet")]
+            out[r] = (len(before), len(after))
+        return out
+
     # ------------------------------------- bucketed seen-set table
     #
     # Cluster-scale F8 backend: ONE hash-bucketed parquet table of seen

@@ -395,3 +395,70 @@ def test_rewrite_committed_round_is_atomic(spark, tmp_path):
     os.makedirs(junk)
     assert catalog.data_path("t", 3) == second_dir
     assert catalog.count("t", 3) == 5
+
+def test_compact_snapshots(spark, tmp_path):
+    """catalog.compact rewrites multi-file committed rounds into few
+    right-sized files through the atomic committed-round rewrite path:
+    contents identical, time-travel intact, untouched rounds left in
+    place, stream view re-published to exactly the new bytes."""
+    from doccrawler_spark.snapshots import SnapshotCatalog
+
+    catalog = SnapshotCatalog(str(tmp_path / "snap"))
+    catalog.write(spark.range(0, 100).repartition(8), "t", 1)
+    catalog.write(spark.range(100, 250).repartition(8), "t", 2)
+    catalog.write(spark.range(250, 260).coalesce(1), "t", 3)
+    dir3 = catalog.data_path("t", 3)
+
+    def files(r):
+        return sorted(n for n in os.listdir(catalog.data_path("t", r))
+                      if n.endswith(".parquet"))
+
+    assert len(files(1)) == 8 and len(files(2)) == 8
+
+    stats = catalog.compact(spark, "t", target_rows_per_file=10_000)
+    assert set(stats) == {1, 2}
+    assert stats[1] == (8, 1) and stats[2] == (8, 1)
+    assert catalog.data_path("t", 3) == dir3        # untouched
+    got1 = sorted(r["id"] for r in catalog.read(spark, "t", 1).collect())
+    got2 = sorted(r["id"] for r in catalog.read(spark, "t", 2).collect())
+    assert got1 == list(range(0, 100))
+    assert got2 == list(range(100, 250))
+    assert catalog.count("t", 1) == 100 and catalog.count("t", 2) == 150
+
+    # stream view = exactly the compacted bytes
+    sd = os.path.join(catalog.stream_dir("t"), "r00002")
+    names = {n for n in os.listdir(sd) if n.endswith(".parquet")}
+    assert names == set(files(2))
+
+    # idempotent: already-compacted rounds are not rewritten again
+    assert catalog.compact(spark, "t", target_rows_per_file=10_000) == {}
+
+    # a sub-file-target row count still respects min_files
+    assert catalog.compact(spark, "t", rounds=[3]) == {}
+
+
+def test_crawl_compacts_on_done(spark, tmp_path):
+    """compact_on_done (the default) leaves every committed crawled
+    round as ONE right-sized file after the crawl finishes, with the
+    oracle equivalence fully intact and the cost timed separately."""
+    web, pages, golden, seeds = _load(spark, tiny_spec())
+    from tests.oracle import OracleConfig, SequentialOracle
+
+    oracle = SequentialOracle(
+        pages, OracleConfig(max_depth=3, politeness=True)).run(seeds)
+    timings: dict = {}
+    catalog = crawl(spark, web, seeds, os.path.join(str(tmp_path), "s"),
+                    CrawlConfig(max_depth=3), timings=timings)
+    assert timings.get("compact_sec") is not None
+    for r in catalog.committed_rounds("crawled"):
+        files = [n for n in os.listdir(catalog.data_path("crawled", r))
+                 if n.endswith(".parquet")]
+        assert len(files) == 1, (r, files)
+    _assert_equivalent(spark, oracle, catalog, golden)
+
+    # a partial run (max_rounds cap, done=False) does NOT compact —
+    # the table is still being appended to across resumes
+    t2: dict = {}
+    crawl(spark, web, seeds, os.path.join(str(tmp_path), "s2"),
+          CrawlConfig(max_depth=3, max_rounds=1), timings=t2)
+    assert "compact_sec" not in t2

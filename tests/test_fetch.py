@@ -365,3 +365,105 @@ def test_urllib_drain_interleaves_hosts(counting_server):
         assert finished_first < 6, (
             f"{other} completed {finished_first}/12 before {h}'s first "
             f"request arrived (head-of-line)")
+
+# ---------------------------------------------------------------------------
+# server-throttle retries (429/503 + Retry-After)
+
+
+@pytest.fixture()
+def throttle_server():
+    """Fresh per-test server: a path ``/t<k>/...`` answers its first k
+    requests with 429 + ``Retry-After: 0``, then 200; everything else
+    404s.  Request counts per path are exposed for assertions."""
+    import re
+
+    counts: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            with lock:
+                counts[self.path] = n = counts.get(self.path, 0) + 1
+            m = re.match(r"^/t(\d+)/", self.path)
+            if m is None:
+                self.send_error(404)
+                return
+            if n <= int(m.group(1)):
+                self.send_response(429)
+                self.send_header("Retry-After", "0")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = b"ok:" + self.path.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", counts
+    srv.shutdown()
+
+
+def test_throttle_status_retried_then_ok(throttle_server):
+    """A 429 with Retry-After is retried (honoring the header) and the
+    eventual 200 body comes back as a normal hit row — the throttle
+    never surfaces as an error when a retry attempt remains."""
+    from doccrawler_spark.fetch import HttpFetchConfig, _drain_urllib
+
+    base, counts = throttle_server
+    cfg = HttpFetchConfig(backend="urllib", concurrency=4,
+                          retries=2, backoff_s=0.01)
+    rows = _drain_urllib([f"{base}/t1/a", f"{base}/t2/b"], cfg)
+    by_path = {u.rsplit("/", 2)[-2] + "/" + u.rsplit("/", 1)[-1]:
+               (html, status, err) for u, html, status, err, _ in rows}
+    assert by_path["t1/a"] == (b"ok:/t1/a", 200, None)
+    assert by_path["t2/b"] == (b"ok:/t2/b", 200, None)
+    assert counts["/t1/a"] == 2   # one throttle + one success
+    assert counts["/t2/b"] == 3   # two throttles + one success
+
+
+def test_throttle_retries_exhausted_is_error_row(throttle_server):
+    """When every attempt is throttled, the result is an error row with
+    the throttle status — never a raised exception/task failure."""
+    from doccrawler_spark.fetch import HttpFetchConfig, _drain_urllib
+
+    base, counts = throttle_server
+    cfg = HttpFetchConfig(backend="urllib", retries=1, backoff_s=0.01)
+    (_, html, status, err, _), = _drain_urllib([f"{base}/t9/x"], cfg)
+    assert html is None and status == 429 and err == "http 429"
+    assert counts["/t9/x"] == 2   # initial + exactly `retries` attempts
+
+
+def test_non_throttle_http_error_not_retried(throttle_server):
+    """404 (and every status outside retry_statuses) is final on the
+    first response — no retry budget burned on deterministic misses."""
+    from doccrawler_spark.fetch import HttpFetchConfig, _drain_urllib
+
+    base, counts = throttle_server
+    cfg = HttpFetchConfig(backend="urllib", retries=3, backoff_s=0.01)
+    (_, html, status, err, _), = _drain_urllib([f"{base}/nope"], cfg)
+    assert html is None and status == 404 and err == "http 404"
+    assert counts["/nope"] == 1
+
+
+def test_retry_delay_parsing():
+    """Retry-After forms per RFC 9110: delta-seconds, HTTP-date (past
+    dates → 0), garbage → exponential fallback; everything clamped to
+    max_backoff_s."""
+    from doccrawler_spark.fetch import HttpFetchConfig, _retry_delay_s
+
+    cfg = HttpFetchConfig(backoff_s=0.5, max_backoff_s=4.0)
+    assert _retry_delay_s("3", 0, cfg) == 3.0
+    assert _retry_delay_s(" 2 ", 0, cfg) == 2.0
+    assert _retry_delay_s("0", 0, cfg) == 0.0
+    assert _retry_delay_s("9999", 0, cfg) == 4.0          # clamped
+    assert _retry_delay_s("Mon, 01 Jan 1990 00:00:00 GMT", 0, cfg) == 0.0
+    assert _retry_delay_s(None, 0, cfg) == 0.5            # fallback
+    assert _retry_delay_s(None, 2, cfg) == 2.0            # 0.5 * 2^2
+    assert _retry_delay_s(None, 10, cfg) == 4.0           # clamped
+    assert _retry_delay_s("not-a-date", 1, cfg) == 1.0    # fallback
