@@ -291,7 +291,8 @@ class SnapshotCatalog:
     # ---------------------------------------------------- maintenance
     def compact(self, spark, table: str, rounds: list[int] | None = None,
                 target_rows_per_file: int = 4_000_000,
-                min_files: int = 2) -> dict[int, tuple[int, int]]:
+                min_files: int = 2,
+                max_concurrent: int = 8) -> dict[int, tuple[int, int]]:
         """Rewrite committed snapshots of ``table`` into few right-sized
         files — the small-file maintenance op for crawl outputs (the
         Iceberg ``rewrite_data_files`` analogue, like ``compact_index``
@@ -308,8 +309,15 @@ class SnapshotCatalog:
         the target, below ``min_files``, or written with a
         ``partition_by`` layout (none of the crawl tables today) are
         left untouched.  Returns {round: (files_before, files_after)}
-        for the rounds rewritten."""
-        out: dict[int, tuple[int, int]] = {}
+        for the rounds rewritten.
+
+        Rounds are rewritten CONCURRENTLY (``max_concurrent`` driver
+        threads — rounds are disjoint dirs + disjoint manifests, and
+        Spark job submission is thread-safe): each rewrite is a tiny
+        job whose fixed scheduling latency would otherwise be paid
+        rounds-many times in sequence, which measured 30–42 s for a
+        ~10-round 240k-page crawl at local[32]."""
+        plan: list[tuple[int, str, int, int]] = []  # (round, dir, before, n_files)
         for r in (rounds if rounds is not None
                   else self.committed_rounds(table)):
             m = self._read_manifest(table, r)
@@ -323,11 +331,23 @@ class SnapshotCatalog:
             n_files = max(1, -(-n_rows // max(1, target_rows_per_file)))
             if n_files >= len(before):
                 continue
+            plan.append((r, d, len(before), n_files))
+        if not plan:
+            return {}
+
+        def _one(item):
+            r, d, n_before, n_files = item
             self.write(spark.read.parquet(d).coalesce(n_files), table, r)
             after = [n for n in os.listdir(self.data_path(table, r))
                      if n.endswith(".parquet")]
-            out[r] = (len(before), len(after))
-        return out
+            return r, (n_before, len(after))
+
+        if len(plan) == 1 or max_concurrent <= 1:
+            return dict(_one(item) for item in plan)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(max_concurrent, len(plan))) as ex:
+            return dict(ex.map(_one, plan))
 
     # ------------------------------------- bucketed seen-set table
     #
