@@ -237,7 +237,12 @@ def _drain_aiohttp(urls: list[str], cfg: HttpFetchConfig):
                         return (u, body, int(r.status), None,
                                 (time.monotonic() - t0) * 1e3)
                 # backoff OUTSIDE the connection context (the pooled
-                # connection goes back) but inside the loop
+                # connection goes back) but inside the loop.  Unlike
+                # the urllib drain, the per-host bound here lives at
+                # the connector pool, so a backing-off coroutine does
+                # NOT hold its host slot — the throttled host's
+                # concurrency is not reduced during the wait, only
+                # this one request is delayed.
                 await asyncio.sleep(delay)
             except Exception as e:
                 last_err = f"{type(e).__name__}: {e}"
