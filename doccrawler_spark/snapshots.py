@@ -290,7 +290,7 @@ class SnapshotCatalog:
 
     # ---------------------------------------------------- maintenance
     def compact(self, spark, table: str, rounds: list[int] | None = None,
-                target_rows_per_file: int = 4_000_000,
+                target_bytes_per_file: int = 256 << 20,
                 min_files: int = 2,
                 max_concurrent: int = 8) -> dict[int, tuple[int, int]]:
         """Rewrite committed snapshots of ``table`` into few right-sized
@@ -304,9 +304,14 @@ class SnapshotCatalog:
         manifest replace; a crash leaves the old snapshot readable) and
         the stream view re-publishes to exactly the new bytes.
 
-        Per-round file targets come from parquet FOOTER row counts (no
-        Spark job for the planning pass).  Rounds already at or below
-        the target, below ``min_files``, or written with a
+        Per-round file targets come from on-disk BYTE size (stat, no
+        Spark job for the planning pass) — bytes, not rows, because a
+        row's width varies 1000× between a URL-frontier row and a
+        full-text document row: a row-count target would coalesce a
+        fat round into one multi-GB file, a single-task write
+        straggler (reads would survive — parquet splits by row group —
+        but the rewrite wouldn't).  Rounds already at or below the
+        target, below ``min_files``, or written with a
         ``partition_by`` layout (none of the crawl tables today) are
         left untouched.  Returns {round: (files_before, files_after)}
         for the rounds rewritten.
@@ -327,8 +332,9 @@ class SnapshotCatalog:
             before = [n for n in os.listdir(d) if n.endswith(".parquet")]
             if len(before) < max(2, min_files):
                 continue
-            n_rows = self.count(table, r)
-            n_files = max(1, -(-n_rows // max(1, target_rows_per_file)))
+            n_bytes = sum(os.path.getsize(os.path.join(d, n))
+                          for n in before)
+            n_files = max(1, -(-n_bytes // max(1, target_bytes_per_file)))
             if n_files >= len(before):
                 continue
             plan.append((r, d, len(before), n_files))

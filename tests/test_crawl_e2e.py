@@ -415,7 +415,7 @@ def test_compact_snapshots(spark, tmp_path):
 
     assert len(files(1)) == 8 and len(files(2)) == 8
 
-    stats = catalog.compact(spark, "t", target_rows_per_file=10_000)
+    stats = catalog.compact(spark, "t")
     assert set(stats) == {1, 2}
     assert stats[1] == (8, 1) and stats[2] == (8, 1)
     assert catalog.data_path("t", 3) == dir3        # untouched
@@ -431,7 +431,7 @@ def test_compact_snapshots(spark, tmp_path):
     assert names == set(files(2))
 
     # idempotent: already-compacted rounds are not rewritten again
-    assert catalog.compact(spark, "t", target_rows_per_file=10_000) == {}
+    assert catalog.compact(spark, "t") == {}
 
     # a sub-file-target row count still respects min_files
     assert catalog.compact(spark, "t", rounds=[3]) == {}
