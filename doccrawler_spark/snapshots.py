@@ -76,9 +76,10 @@ class SnapshotCatalog:
         ``os.replace`` is the commit point.  A crash anywhere before
         the replace leaves the old snapshot fully readable; a reader
         mid-scan of the old dir never has files deleted under it — the
-        superseded dir is removed only after the new manifest is
-        visible (best-effort; a leftover is unreferenced garbage, not
-        a torn table)."""
+        superseded dir is TOMBSTONED and reclaimed only once older
+        than :data:`SUPERSEDED_GRACE_S` (see
+        :meth:`vacuum_superseded`), so even a reader that resolved the
+        old path moments before the swap finishes its scan."""
         prev = self._read_manifest(table, round_)
         if prev is None:
             path = self.data_dir(table, round_)
@@ -90,11 +91,65 @@ class SnapshotCatalog:
         w.parquet(path)
         self._publish(table, round_, {"path": path, "partition_by": partition_by or []})
         if prev is not None:
-            import shutil
-
             old = prev.get("path") or self.data_dir(table, round_)
             if os.path.realpath(old) != os.path.realpath(path):
-                shutil.rmtree(old, ignore_errors=True)
+                # deferred deletion (the Iceberg expire-snapshots
+                # pattern): a reader that resolved data_path() just
+                # before the manifest swap may still be scanning the
+                # old dir — deleting it NOW fails that scan.  Record a
+                # tombstone instead; dirs are reclaimed once older than
+                # the grace window (swept opportunistically here and by
+                # vacuum_superseded()).
+                self._tombstone(old)
+        self.vacuum_superseded()
+
+    # superseded-snapshot grace window: longer than any reasonable
+    # single-snapshot scan, short enough that a long crawl's rewrite
+    # garbage stays bounded to the last few minutes' worth
+    SUPERSEDED_GRACE_S = 600.0
+
+    def _tombstone(self, path: str) -> None:
+        d = os.path.join(self.root, "_trash")
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, uuid.uuid4().hex + ".json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"path": path, "ts": time.time()}, f)
+        os.replace(tmp, final)
+
+    def vacuum_superseded(self, grace_s: float | None = None) -> int:
+        """Delete superseded snapshot dirs whose tombstones are older
+        than ``grace_s`` (default :data:`SUPERSEDED_GRACE_S`); returns
+        the number reclaimed.  Pass 0 to force (tests, final cleanup —
+        only safe when no concurrent reader can hold a pre-rewrite
+        path)."""
+        import shutil
+
+        if grace_s is None:
+            grace_s = self.SUPERSEDED_GRACE_S
+        d = os.path.join(self.root, "_trash")
+        if not os.path.isdir(d):
+            return 0
+        now, n = time.time(), 0
+        root_real = os.path.realpath(self.root)
+        for name in os.listdir(d):
+            if not name.endswith(".json") or name.endswith(".tmp"):
+                continue
+            p = os.path.join(d, name)
+            try:
+                with open(p) as f:
+                    t = json.load(f)
+                if now - float(t["ts"]) < grace_s:
+                    continue
+                victim = os.path.realpath(t["path"])
+                # never follow a tombstone outside this catalog
+                if victim.startswith(root_real + os.sep):
+                    shutil.rmtree(victim, ignore_errors=True)
+                os.unlink(p)
+                n += 1
+            except (OSError, ValueError, KeyError):
+                continue
+        return n
 
     def _publish(self, table: str, round_: int, payload: dict) -> None:
         payload = dict(payload, table=table, round=round_,
@@ -127,7 +182,27 @@ class SnapshotCatalog:
         return os.path.join(self.root, "stream", table)
 
     def _publish_stream_entry(self, table: str, round_: int) -> None:
+        """Make round ``round_`` visible under the stream prefix,
+        append-EXACTLY-ONCE for file streams.
+
+        A round's first complete publication is sealed with a
+        ``_published.json`` marker (its file list) and is IMMUTABLE
+        from then on: a later rewrite of the committed round (compact,
+        fold_bloom) must NOT re-publish, because Spark's
+        FileStreamSource tracks files by path — renamed content-equal
+        files would be delivered as new rows (duplicates) and unlinking
+        listed-but-unread old files fails the micro-batch.  The sealed
+        entry's hard links/copies keep the ORIGINAL committed bytes
+        alive after the raw dir is rewritten; same rows either way.
+
+        Healing stays: a publish that crashed mid-copy left no marker —
+        it is completed per-file and then sealed.  A sealed entry that
+        LOST files (external damage) is restored from the marker list
+        when the source still has those names, else rebuilt from the
+        current snapshot (re-delivery possible only in that
+        damaged-entry corner, where re-delivery beats data loss)."""
         import shutil
+        import uuid as _uuid
 
         src = self.data_path(table, round_)
         dst = os.path.join(self._stream_table_dir(table), f"r{round_:05d}")
@@ -136,18 +211,42 @@ class SnapshotCatalog:
         if os.path.islink(dst):
             os.unlink(dst)
         os.makedirs(dst, exist_ok=True)
+        marker = os.path.join(dst, "_published.json")
         src_names = {n for n in os.listdir(src) if n.endswith(".parquet")}
-        # a rewrite of a committed round (fold_bloom) renames every part
-        # file; drop superseded names so the stream view stays EXACTLY
-        # the committed bytes (a file stream that already consumed the
-        # old names simply tracked files that no longer exist — safe)
-        for name in os.listdir(dst):
-            if name.endswith(".parquet") and name not in src_names:
-                try:
-                    os.unlink(os.path.join(dst, name))
-                except OSError:
-                    pass
-        for name in sorted(src_names):
+
+        published: set[str] | None = None
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    published = set(json.load(f)["files"])
+            except (OSError, ValueError, KeyError):
+                published = None  # torn marker: treat as unsealed
+        if published is not None:
+            have = {n for n in os.listdir(dst) if n.endswith(".parquet")}
+            if published <= have:
+                return  # sealed + intact: the normal rewrite no-op
+            if not (published <= src_names):
+                # damaged AND the original names are gone (snapshot was
+                # rewritten since): rebuild from the current snapshot
+                for name in have - src_names:
+                    try:
+                        os.unlink(os.path.join(dst, name))
+                    except OSError:
+                        pass
+                published = None
+        names = published if published is not None else src_names
+        if published is None:
+            # never sealed: a partial publication superseded by a
+            # rewrite may have left old-generation names — drop them so
+            # the sealed entry is one coherent file set
+            for name in os.listdir(dst):
+                if name.endswith(".parquet") and name not in names:
+                    try:
+                        os.unlink(os.path.join(dst, name))
+                    except OSError:
+                        pass
+
+        for name in sorted(names):
             t = os.path.join(dst, name)
             if os.path.exists(t):
                 continue
@@ -160,6 +259,12 @@ class SnapshotCatalog:
                 tmp = t + f".tmp.{os.getpid()}"
                 shutil.copyfile(os.path.join(src, name), tmp)
                 os.replace(tmp, t)
+        # seal AFTER every file is in place (crash before this line =
+        # unsealed entry, healed idempotently on the next publish)
+        tmp = marker + f".tmp.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(names)}, f)
+        os.replace(tmp, marker)
 
     def stream_dir(self, table: str) -> str:
         """Directory whose ``r*`` children are EXACTLY the committed

@@ -376,17 +376,27 @@ def test_rewrite_committed_round_is_atomic(spark, tmp_path):
     catalog.write(df2, "t", 3)
     second_dir = catalog.data_path("t", 3)
     assert second_dir != first_dir        # fresh dir, never in-place
-    assert not os.path.exists(first_dir)  # superseded dir vacuumed
+    # superseded dir survives the grace window (a reader that resolved
+    # it pre-swap finishes its scan), then vacuums on demand
+    assert os.path.exists(first_dir)
+    assert sorted(r["v"] for r in spark.read.parquet(first_dir).collect()) \
+        == list(range(0, 10))
+    assert catalog.vacuum_superseded(grace_s=0) == 1
+    assert not os.path.exists(first_dir)
     got = sorted(r["v"] for r in catalog.read(spark, "t", 3).collect())
     assert got == list(range(100, 105))
     # footer-based counts resolve through the manifest path too
     assert catalog.count("t", 3) == 5
-    # the stream view carries EXACTLY the rewritten bytes (old part
-    # files dropped, new ones linked)
+    # the stream view is SEALED at first publication (append-log
+    # semantics: a file stream that consumed those paths must never
+    # see renamed duplicates), so it keeps the first-published bytes —
+    # alive via hard links even though the raw dir was vacuumed
     sd = os.path.join(catalog.stream_dir("t"), "r00003")
     names = {n for n in os.listdir(sd) if n.endswith(".parquet")}
     src = {n for n in os.listdir(second_dir) if n.endswith(".parquet")}
-    assert names == src
+    assert names.isdisjoint(src) and names
+    got = sorted(r["v"] for r in spark.read.parquet(sd).collect())
+    assert got == list(range(0, 10))
 
     # crash-window simulation: rewrite data landed but the manifest
     # replace never happened → the committed snapshot still reads the
@@ -425,10 +435,15 @@ def test_compact_snapshots(spark, tmp_path):
     assert got2 == list(range(100, 250))
     assert catalog.count("t", 1) == 100 and catalog.count("t", 2) == 150
 
-    # stream view = exactly the compacted bytes
+    # stream view: sealed at first publication — compaction does NOT
+    # re-publish (a file stream would re-ingest every row under the new
+    # names), so the entry keeps its original 8 files whose rows equal
+    # the compacted table exactly
     sd = os.path.join(catalog.stream_dir("t"), "r00002")
     names = {n for n in os.listdir(sd) if n.endswith(".parquet")}
-    assert names == set(files(2))
+    assert len(names) == 8 and names.isdisjoint(set(files(2)))
+    got_stream = sorted(r["id"] for r in spark.read.parquet(sd).collect())
+    assert got_stream == list(range(100, 250))
 
     # idempotent: already-compacted rounds are not rewritten again
     assert catalog.compact(spark, "t") == {}

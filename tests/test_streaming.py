@@ -177,3 +177,50 @@ def test_streaming_seen_dedup_and_site_progress(spark, tmp_path):
         .agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_stream_exactly_once_across_compaction(spark, tmp_path):
+    """Rewriting committed rounds (compact) must be INVISIBLE to a live
+    file stream: the sealed stream entries keep their first-published
+    paths, so a running query sees zero new files — no re-delivered
+    rows, no unlinked-mid-read crash (r8 code-review finding)."""
+    import os
+
+    from doccrawler_spark.snapshots import SnapshotCatalog
+
+    catalog = SnapshotCatalog(str(tmp_path / "snap"))
+    catalog.write(spark.range(0, 100).repartition(4), "t", 1)
+    catalog.write(spark.range(100, 250).repartition(4), "t", 2)
+    sdir = catalog.stream_dir("t")
+
+    q = (spark.readStream.schema("id long")
+         .option("pathGlobFilter", "*.parquet").parquet(f"{sdir}/r*")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_compact").start())
+    try:
+        q.processAllAvailable()
+        before = sorted(r["id"] for r in
+                        spark.sql("SELECT id FROM t_compact").collect())
+        assert before == list(range(0, 250))
+
+        stats = catalog.compact(spark, "t")
+        assert set(stats) == {1, 2}          # both rounds rewritten
+        catalog.stream_dir("t")              # publish path re-walked
+
+        q.processAllAvailable()  # must not crash, must deliver nothing
+        after = sorted(r["id"] for r in
+                       spark.sql("SELECT id FROM t_compact").collect())
+    finally:
+        q.stop()
+    assert after == before
+
+    # sealed entries keep the pre-compaction 4-file sets, rows intact
+    e1 = os.path.join(sdir, "r00001")
+    names = [n for n in os.listdir(e1) if n.endswith(".parquet")]
+    assert len(names) == 4
+    assert os.path.exists(os.path.join(e1, "_published.json"))
+    raw = {n for n in os.listdir(catalog.data_path("t", 1))
+           if n.endswith(".parquet")}
+    assert raw.isdisjoint(names)
+    got = sorted(r["id"] for r in spark.read.parquet(e1).collect())
+    assert got == list(range(0, 100))
