@@ -721,30 +721,39 @@ def _make_bucket_scorer(k: int):
                 "q_id": qpdf["q_id"][:0], "vec_id": cpdf["vec_id"][:0],
                 "cosine": pd.Series([], dtype="float64"),
             })
-        A = np.asarray([np.asarray(v, dtype=np.float64)
-                        for v in qpdf["q_emb"]])
-        qn = np.sqrt((A * A).sum(axis=1))
-        qid = qpdf["q_id"].to_numpy()
+        qid_all = qpdf["q_id"].to_numpy()
         vid_all = cpdf["vec_id"].to_numpy()
         out = []
-        CH = 65536  # bound the GEMM output to |Q|×CH doubles
-        for s in range(0, len(cpdf), CH):
-            B = np.asarray([np.asarray(v, dtype=np.float64)
-                            for v in cpdf["embedding"].iloc[s:s + CH]])
-            vid = vid_all[s:s + CH]
-            bn = np.sqrt((B * B).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos6 = np.round((A @ B.T) / np.outer(qn, bn), 6)
-            for i in range(len(qid)):
-                row = cos6[i]
-                idx = np.nonzero(np.isfinite(row))[0]  # zero-norm → drop
-                if idx.size == 0:
-                    continue
-                sel = idx[np.lexsort((vid[idx], -row[idx]))[:k]]
-                out.append(pd.DataFrame({
-                    "q_id": np.full(sel.size, qid[i]),
-                    "vec_id": vid[sel], "cosine": row[sel],
-                }))
+        # BOTH axes are chunked: a hot bucket can be hit by an
+        # unbounded number of bulk queries just as it can hold an
+        # unbounded number of candidates, and the GEMM output is
+        # |Q|×|C| float64 — chunking only candidates would let a
+        # 100k-query batch allocate |Q|×65536×8 ≈ 50 GB in one array.
+        # 2048×16384 bounds each GEMM output to 256 MB while keeping
+        # the BLAS kernel long enough to amortize dispatch.
+        Q_CH, C_CH = 2048, 16384
+        for qs_ in range(0, len(qpdf), Q_CH):
+            A = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in qpdf["q_emb"].iloc[qs_:qs_ + Q_CH]])
+            qn = np.sqrt((A * A).sum(axis=1))
+            qid = qid_all[qs_:qs_ + Q_CH]
+            for s in range(0, len(cpdf), C_CH):
+                B = np.asarray([np.asarray(v, dtype=np.float64)
+                                for v in cpdf["embedding"].iloc[s:s + C_CH]])
+                vid = vid_all[s:s + C_CH]
+                bn = np.sqrt((B * B).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos6 = np.round((A @ B.T) / np.outer(qn, bn), 6)
+                for i in range(len(qid)):
+                    row = cos6[i]
+                    idx = np.nonzero(np.isfinite(row))[0]  # zero-norm → drop
+                    if idx.size == 0:
+                        continue
+                    sel = idx[np.lexsort((vid[idx], -row[idx]))[:k]]
+                    out.append(pd.DataFrame({
+                        "q_id": np.full(sel.size, qid[i]),
+                        "vec_id": vid[sel], "cosine": row[sel],
+                    }))
         if not out:
             return pd.DataFrame({
                 "q_id": qpdf["q_id"][:0], "vec_id": cpdf["vec_id"][:0],
