@@ -359,6 +359,13 @@ def main() -> None:
                          "when the two legs of one invocation caught "
                          "different host moods")
     args = ap.parse_args()
+    if args.only and not args.merge_prior:
+        # an --only rerun that does NOT merge would regenerate STAGES.md
+        # with just the rerun cells, silently erasing every other row
+        print("[stages] --only implies --merge-prior (a partial table "
+              "must merge into the prior one, never replace it)",
+              flush=True)
+        args.merge_prior = True
 
     sys.path.insert(0, REPO)
     web_path = ensure_corpus()
@@ -379,6 +386,7 @@ def main() -> None:
 
     stamp = code_stamp()
     merged_note = ""
+    merged = False
     if args.merge_prior:
         prior_path = os.path.join(REPO, "BENCH", "STAGES.md")
         try:
@@ -402,6 +410,7 @@ def main() -> None:
                     f"forward; last merge "
                     f"{datetime.date.today()}).\n"
                 )
+                merged = True
                 print(f"[stages] merged prior minima (code={stamp}): "
                       f"lo={lo} hi={hi}", flush=True)
             elif pj.get("code") != stamp:
@@ -410,15 +419,30 @@ def main() -> None:
         except (OSError, IndexError, ValueError, KeyError):
             pass
 
+    if args.only and not merged:
+        # stamp mismatch / unreadable prior: a partial rewrite would
+        # erase the other cells' rows — dump the legs and stop instead
+        sys.exit(f"[stages] --only ran but the prior table could not be "
+                 f"merged (stamp/params mismatch?) — refusing to write a "
+                 f"partial STAGES.md. Raw legs: lo={lo} hi={hi}")
+
     factor = args.high / args.low
-    effs = {k: round((lo[k] / hi[k]) / factor, 3) for k in lo}
+    # a leg can salvage PARTIAL cells (timeout path) — only pair-complete
+    # cells get an efficiency/row; the one-sided ones are reported so a
+    # rerun knows what to --only
+    effs = {k: round((lo[k] / hi[k]) / factor, 3) for k in lo if k in hi}
+    one_sided = sorted(set(lo) ^ set(hi))
+    if one_sided:
+        print(f"[stages] one-sided cells (no row written, rerun with "
+              f"--only {','.join(one_sided)} --merge-prior): {one_sided}",
+              flush=True)
 
     rows = "\n".join(
         f"| {k} | {lo[k]} | {hi[k]} | {effs[k]} |"
         for k in ["scan", "extract", "vectorize", "jvm_hash", "minhash",
                   "minhash_xx", "simhash", "minhash_crawl",
                   "simhash_crawl", "knn_crawl", "knn_crawl_indexed"]
-        if k in lo
+        if k in effs
     )
     md = f"""# BENCH/STAGES — per-stage strong scaling ({datetime.date.today()})
 
