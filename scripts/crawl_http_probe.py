@@ -19,10 +19,13 @@ Wiring details mirrored from the e2e test:
   DNS; the loopback AUTHORITY is derived from the ORIGINAL host
   (127.0.0.x alias), so http_fetcher's per-host cap still binds per
   crawled site, not per tunnel.
-- Pages are sharded across the server farm by crc32(url) — the same
-  expression computes the shard client-side (Spark `F.crc32`) and
-  server-side (`zlib.crc32`), so each server only holds its shard of
-  the corpus in memory.
+- Pages are sharded across the server farm by crc32(HOST) — the same
+  expression computes the shard client-side (Spark `F.crc32` over
+  `host_col`) and server-side (`zlib.crc32` over the mirrored host
+  regex), so each server only holds its sites' pages AND one site maps
+  to exactly one netloc — the per-host cap genuinely binds per site
+  (an earlier crc32(url) sharding spread each site over every port,
+  silently multiplying the politeness cap by the farm size).
 
 Each cell runs in its own subprocess (fresh JVM + fresh farm).
 Regenerate: python scripts/crawl_http_probe.py [--pages 24000]
@@ -41,7 +44,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SERVER = r"""
-import glob, sys, time, zlib
+import glob, re, sys, time, zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 corpus_dir, n_servers, shard, hold_ms = (
@@ -50,12 +53,21 @@ hold_s = hold_ms / 1000.0
 
 import pyarrow.parquet as pq
 
+# shard by crc32(HOST) — the SAME expression the client uses to pick
+# the port (doccrawler_spark.functions.host_col regex mirrored here),
+# so one site maps to exactly ONE server, i.e. one netloc: the per-host
+# politeness semaphore binds per crawled site (sharding by crc32(url)
+# split a site over every port and multiplied the cap by the farm size)
+_HOST = re.compile(r"^https?://([^/?#\s]+)")
+
 pages = {}
 for part in glob.glob(corpus_dir + "/part-*.parquet"):
     t = pq.read_table(part, columns=["url", "html"])
     for url, html in zip(t.column("url").to_pylist(),
                          t.column("html").to_pylist()):
-        if zlib.crc32(url.encode()) % n_servers == shard:
+        m = _HOST.match(url)
+        host = m.group(1) if m else ""
+        if zlib.crc32(host.encode()) % n_servers == shard:
             pages[url] = html if isinstance(html, bytes) else html.encode()
 
 
@@ -117,14 +129,11 @@ web_path = os.path.join(
 if not os.path.exists(os.path.join(web_path, "_SUCCESS")):
     generate_web_pages_df(spark, spec).write.mode("overwrite").parquet(web_path)
 
-servers, ports = [], []
-for shard in range(n_servers):
-    p = subprocess.Popen(
-        [sys.executable, "-c", os.environ["PROBE_SERVER_SRC"],
-         web_path, str(n_servers), str(shard), str(hold_ms)],
-        stdout=subprocess.PIPE, text=True)
-    ports.append(int(p.stdout.readline()))
-    servers.append(p)
+from doccrawler_spark.loopback_farm import spawn_farm, stop_farm
+
+servers, ports = spawn_farm(
+    os.environ["PROBE_SERVER_SRC"], n_servers,
+    lambda shard: [web_path, n_servers, shard, hold_ms])
 
 try:
     inner = http_fetcher(HttpFetchConfig(
@@ -133,21 +142,21 @@ try:
     ports_arr = F.array(*[F.lit(p) for p in ports])
 
     def rewriting_fetcher(urls):
-        # loopback authority from the ORIGINAL host (per-host politeness
-        # binds per crawled site); port from the crc32(url) shard the
-        # servers used to split the corpus
+        # loopback authority from the ORIGINAL host: IP alias AND port
+        # both derive from crc32(host), so one site = one netloc and
+        # the per-host politeness cap binds per crawled site (a
+        # crc32(url) port split one site over the whole farm and
+        # multiplied the cap by n_servers)
+        host_crc = F.crc32(F.encode(Fx.host_col(F.col("url")), "utf-8"))
         mapped = urls.select(
             F.col("url").alias("orig"),
             F.concat(
                 F.lit("http://127.0.0."),
-                (F.pmod(F.crc32(F.encode(Fx.host_col(F.col("url")),
-                                         "utf-8")), F.lit(64)) + 1
-                 ).cast("string"),
+                (F.pmod(host_crc, F.lit(64)) + 1).cast("string"),
                 F.lit(":"),
                 F.element_at(
                     ports_arr,
-                    (F.pmod(F.crc32(F.encode(F.col("url"), "utf-8")),
-                            F.lit(n_servers)) + 1).cast("int")
+                    (F.pmod(host_crc, F.lit(n_servers)) + 1).cast("int")
                 ).cast("string"),
                 F.lit("/u/"),
                 F.hex(F.encode(F.col("url"), "utf-8")),
@@ -187,8 +196,7 @@ try:
     http_arm = run_arm(rewriting_fetcher, None)
     join_arm = run_arm(None, web)
 finally:
-    for p in servers:
-        p.terminate()
+    stop_farm(servers)
 
 assert http_arm["pages"] == join_arm["pages"] and \
     http_arm["fingerprint"] == join_arm["fingerprint"], (http_arm, join_arm)
@@ -239,16 +247,19 @@ def main() -> None:
         f"{datetime.date.today()})",
         "",
         f"The bench corpus ({args.pages:,} pages, 12 sites) served by a "
-        "12-process loopback farm (pages sharded by crc32(url); "
+        "12-process loopback farm (sites sharded by crc32(host); "
         f"{args.hold_ms:.0f} ms hold per request as simulated RTT) and "
         "crawled END-TO-END through `CrawlConfig.fetcher = "
         "http_fetcher(...)` — every page crosses a real socket, the "
         "per-host politeness semaphore, and the cross-host interleaved "
-        "urllib drain; URLs hex-tunneled, loopback authority derived "
-        "from the original host so the per-host cap binds per crawled "
-        "site.  The table-join arm crawls the identical corpus in the "
-        "same JVM; both arms' crawled-set fingerprints "
-        "(count + Σcrc32(url)) asserted equal.",
+        "urllib drain; URLs hex-tunneled, loopback IP alias AND port "
+        "both derived from the original HOST so one site = one netloc "
+        "and the per-host cap genuinely binds per crawled site (r8 "
+        "review fix: an earlier crc32(url) port split each site over "
+        "the whole farm, multiplying the effective cap).  The "
+        "table-join arm crawls the identical corpus in the same JVM; "
+        "both arms' crawled-set fingerprints (count + Σcrc32(url)) "
+        "asserted equal.",
         "",
         "| local[N] | arm | rounds s | steady pages/s |",
         "|---|---|---|---|",
