@@ -234,48 +234,23 @@ def run_http_fetch_bench(spark, cpus: int) -> dict:
     uses the table fetcher; this is the other S3 implementation).
     Deeper cells (per-host sweep, 8-vs-32 pair) live in
     scripts/http_fetch_probe.py → BENCH/HTTP_FETCH.md."""
-    import subprocess
-
     from pyspark.sql import functions as F
 
     from doccrawler_spark.fetch import HttpFetchConfig, http_fetcher
+    from doccrawler_spark.loopback_farm import (
+        STATIC_SERVER_SRC,
+        host_of,
+        spawn_farm,
+        stop_farm,
+    )
 
     n, hosts, hold_ms, per_host, n_servers = 24000, 64, 20.0, 4, 12
 
-    # server FARM: shard the host identities across independent server
-    # processes — a single GIL-bound ThreadingHTTPServer caps near
-    # ~1k pages/s, below the politeness ceiling being measured
-    server_src = (
-        "import sys, time\n"
-        "from http.server import BaseHTTPRequestHandler, "
-        "ThreadingHTTPServer\n"
-        "hold_s = float(sys.argv[1])\n"
-        "BODY = ('<html><head><title>p</title></head><body>'\n"
-        "        + '<p>lorem ipsum fetch bench</p>' * 120\n"
-        "        + '</body></html>').encode()\n"
-        "class H(BaseHTTPRequestHandler):\n"
-        "    def do_GET(self):\n"
-        "        time.sleep(hold_s)\n"
-        "        self.send_response(200)\n"
-        "        self.send_header('Content-Length', str(len(BODY)))\n"
-        "        self.end_headers()\n"
-        "        self.wfile.write(BODY)\n"
-        "    def log_message(self, *a):\n"
-        "        pass\n"
-        "srv = ThreadingHTTPServer(('0.0.0.0', 0), H)\n"
-        "print(srv.server_address[1], flush=True)\n"
-        "srv.serve_forever()\n")
-    servers, ports = [], []
-    for _ in range(n_servers):
-        p = subprocess.Popen(
-            [sys.executable, "-c", server_src, str(hold_ms / 1000.0)],
-            stdout=subprocess.PIPE, text=True)
-        ports.append(int(p.stdout.readline()))
-        servers.append(p)
+    servers, ports = spawn_farm(STATIC_SERVER_SRC, n_servers,
+                                lambda _s: [hold_ms / 1000.0])
 
     def _host(i: int) -> str:
-        h = i % hosts
-        return f"127.0.0.{1 + h}:{ports[h % n_servers]}"
+        return host_of(i, hosts, ports)
 
     try:
         rows = [(f"http://{_host(i)}/page/{i}", _host(i))
@@ -295,8 +270,7 @@ def run_http_fetch_bench(spark, cpus: int) -> dict:
                     .alias("misses")).collect()[0])
         dt = time.time() - t0
     finally:
-        for p in servers:
-            p.terminate()
+        stop_farm(servers)
     if got["n"] != n or got["misses"]:
         raise RuntimeError(f"http fetch bench lost pages: {got}")
     return {

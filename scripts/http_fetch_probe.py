@@ -43,33 +43,6 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_SERVER = r"""
-import sys, time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-hold_s = float(sys.argv[1])
-BODY = ("<html><head><title>p</title></head><body>" +
-        "<p>lorem ipsum fetch probe</p>" * 120 + "</body></html>"
-        ).encode()
-
-
-class H(BaseHTTPRequestHandler):
-    def do_GET(self):
-        time.sleep(hold_s)
-        self.send_response(200)
-        self.send_header("Content-Length", str(len(BODY)))
-        self.end_headers()
-        self.wfile.write(BODY)
-
-    def log_message(self, *a):
-        pass
-
-
-srv = ThreadingHTTPServer(("0.0.0.0", 0), H)
-print(srv.server_address[1], flush=True)
-srv.serve_forever()
-"""
-
 _WORKER = r"""
 import json, os, subprocess, sys, time
 
@@ -83,22 +56,17 @@ conc = int(os.environ["PROBE_CONC"])
 per_host = int(os.environ["PROBE_PER_HOST"])
 n_servers = int(os.environ["PROBE_SERVERS"])
 
+from doccrawler_spark.loopback_farm import (
+    STATIC_SERVER_SRC, spawn_farm, stop_farm, host_of as _farm_host)
+
 # server FARM: shard the host identities across independent server
 # processes so the GIL of any one server never caps the client side
-servers = []
-ports = []
-for _ in range(n_servers):
-    p = subprocess.Popen(
-        [sys.executable, "-c", os.environ["PROBE_SERVER_SRC"],
-         str(hold_s)],
-        stdout=subprocess.PIPE, text=True)
-    ports.append(int(p.stdout.readline()))
-    servers.append(p)
+servers, ports = spawn_farm(STATIC_SERVER_SRC, n_servers,
+                            lambda _s: [hold_s])
 
 
 def host_of(i):
-    h = i % hosts
-    return f"127.0.0.{1 + h}:{ports[h % n_servers]}"
+    return _farm_host(i, hosts, ports)
 
 
 try:
@@ -129,8 +97,7 @@ try:
                 F.sum(F.length("html")).alias("bytes")).collect()[0])
     dt = time.time() - t0
 finally:
-    for p in servers:
-        p.terminate()
+    stop_farm(servers)
 assert got["n"] == n and got["misses"] == 0, (got["n"], got["misses"])
 print("PROBEJSON " + json.dumps({
     "fetch_sec": round(dt, 2),
@@ -146,7 +113,7 @@ def run_cell(cpus: int, conc: int, per_host: int, n: int, hosts: int,
                PROBE_HOSTS=str(hosts), PROBE_HOLD_MS=str(hold_ms),
                PROBE_CPUS=str(cpus), PROBE_CONC=str(conc),
                PROBE_PER_HOST=str(per_host),
-               PROBE_SERVERS=str(n_servers), PROBE_SERVER_SRC=_SERVER)
+               PROBE_SERVERS=str(n_servers))
     r = subprocess.run([sys.executable, "-c", _WORKER], env=env,
                        capture_output=True, text=True, timeout=1800)
     for line in r.stdout.splitlines():
