@@ -732,16 +732,26 @@ def _make_bucket_scorer(k: int):
         # 2048×16384 bounds each GEMM output to 256 MB while keeping
         # the BLAS kernel long enough to amortize dispatch.
         Q_CH, C_CH = 2048, 16384
+        # Each side's list-cell → float64-matrix conversion runs ONCE
+        # (r9, guide §4.2): the query-side chunks are converted up
+        # front and cached (bounded by the bulk batch: |Q|×dim float64,
+        # ~50 MB at 100k×64), then candidate chunks convert once each
+        # in the outer loop — the r8 nesting rebuilt the candidate
+        # matrix + norms inside the query loop, so a hot bucket hit by
+        # 100k bulk queries (49 q-chunks) paid the per-row conversion
+        # 49×.
+        a_chunks = []
         for qs_ in range(0, len(qpdf), Q_CH):
             A = np.asarray([np.asarray(v, dtype=np.float64)
                             for v in qpdf["q_emb"].iloc[qs_:qs_ + Q_CH]])
-            qn = np.sqrt((A * A).sum(axis=1))
-            qid = qid_all[qs_:qs_ + Q_CH]
-            for s in range(0, len(cpdf), C_CH):
-                B = np.asarray([np.asarray(v, dtype=np.float64)
-                                for v in cpdf["embedding"].iloc[s:s + C_CH]])
-                vid = vid_all[s:s + C_CH]
-                bn = np.sqrt((B * B).sum(axis=1))
+            a_chunks.append((A, np.sqrt((A * A).sum(axis=1)),
+                             qid_all[qs_:qs_ + Q_CH]))
+        for s in range(0, len(cpdf), C_CH):
+            B = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in cpdf["embedding"].iloc[s:s + C_CH]])
+            vid = vid_all[s:s + C_CH]
+            bn = np.sqrt((B * B).sum(axis=1))
+            for A, qn, qid in a_chunks:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos6 = np.round((A @ B.T) / np.outer(qn, bn), 6)
                 for i in range(len(qid)):

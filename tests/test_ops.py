@@ -192,6 +192,42 @@ def test_embedding_ops(spark):
     assert kj[0]["vec_id"] == 2
 
 
+def test_embedding_neardup_arrow_matches_expr(spark):
+    """The per-bucket Arrow-GEMM pair scorer (r9 default) must return
+    results IDENTICAL to the expr path — both round cosine to 6
+    decimals before the threshold compare, zero-norm vectors drop on
+    both (NaN fails the compare / try_divide yields NULL), and a pair
+    colliding in several bands dedups to one row either way."""
+    import random
+
+    from doccrawler_spark.ops.dedup import embedding_neardup_pairs
+
+    rng = random.Random(41)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(200)]
+    # near-dup cluster: guaranteed pairs above any threshold
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows += [(500 + j, [x + rng.uniform(-1e-3, 1e-3) for x in base])
+             for j in range(5)]
+    rows.append((900, [0.0] * dim))  # zero-norm: never pairs
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def rows_of(df):
+        return [(r["vec_a"], r["vec_b"], r["cosine"])
+                for r in df.orderBy("vec_a", "vec_b").collect()]
+
+    for thr in (-1.0, 0.5, 0.95):
+        a = rows_of(embedding_neardup_pairs(
+            emb, threshold=thr, n_bands=2, band_bits=4, score="arrow"))
+        e = rows_of(embedding_neardup_pairs(
+            emb, threshold=thr, n_bands=2, band_bits=4, score="expr"))
+        assert a == e, f"threshold={thr}"
+        if thr <= 0.5:
+            assert len(a) > 0
+        assert all(r[0] != 900 and r[1] != 900 for r in a)
+
+
 def test_ivf_topk_probes_nearest_cells(spark):
     """IVF: only vectors in the probed cells are candidates; the exact
     top-k inside the probes matches brute force restricted to them."""
