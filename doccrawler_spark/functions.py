@@ -231,6 +231,47 @@ _SPARSE_SCHEMA = T.StructType([
 ])
 
 
+_VECTOR_SCHEMA = T.StructType([
+    T.StructField("values", T.ArrayType(T.FloatType())),
+    T.StructField("sparse", _SPARSE_SCHEMA),
+])
+
+
+def embed_vectors_udf(dim: int, avgdl: float, k1: float = 1.2,
+                      b: float = 0.75, backend: str = "hashing"):
+    """Fused X7+X8 encoder (r9): ONE pandas UDF computes both the dense
+    hashing embedding and the BM25 sparse vector — one Arrow boundary
+    crossing, one tokenize, one md5 per distinct token (see
+    kernels.embed.embed_doc_hashing) instead of two ArrowEvalPython
+    stages each re-tokenizing and re-hashing the full text.  The doc
+    side of BM25 needs only (avgdl, k1, b) — plain literals closed
+    over the UDF — so the (possibly huge) idf vocabulary is never
+    shipped to executors at all (it is query-side only).  Non-hashing
+    dense backends keep the fused boundary: the backend embeds the
+    batch, the BM25 pass runs alongside in the same worker."""
+
+    @F.pandas_udf(_VECTOR_SCHEMA)
+    def _embed(text: pd.Series) -> pd.DataFrame:
+        if backend == "hashing":
+            rows_v, rows_s = [], []
+            for t in text:
+                v, idx, val = embed_k.embed_doc_hashing(
+                    t if isinstance(t, str) else "", dim, avgdl, k1, b)
+                rows_v.append(v)
+                rows_s.append({"indices": idx, "values": val})
+        else:
+            fn = embed_k.get_embed_backend(backend)
+            rows_v = fn(text.tolist(), dim)
+            stats = embed_k.BM25Stats({}, avgdl, 0, k1, b)
+            rows_s = []
+            for t in text:
+                idx, val = embed_k.bm25_encode_document(t or "", stats)
+                rows_s.append({"indices": idx, "values": val})
+        return pd.DataFrame({"values": rows_v, "sparse": rows_s})
+
+    return _embed
+
+
 def bm25_encode_udf(stats_bc):
     """Doc-side BM25 encoder; ``stats_bc`` is a broadcast of
     BM25Stats.to_dict() (fit once, shipped once per executor —

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import math
 import re
+from collections import Counter
 
 import numpy as np
 
@@ -34,11 +35,33 @@ def tokenize(text: str) -> list[str]:
 # ---------------------------------------------------------------- dense
 
 
-def _token_slot(token: str, dim: int) -> tuple[int, float]:
+# Per-process memo of token → (u32, sign): every hashing-trick consumer
+# (dense slot, BM25 term id) derives from the SAME md5 prefix, so one
+# digest per DISTINCT token per worker serves them all.  Capped so an
+# adversarial unbounded vocabulary cannot grow worker memory without
+# bound; past the cap tokens just hash uncached (correctness
+# unchanged).  Worker processes are reused across tasks
+# (spark.python.worker.reuse), so the memo amortizes across batches,
+# tasks and queries.
+_TOKEN_MEMO: dict[str, tuple[int, float]] = {}
+_TOKEN_MEMO_CAP = 1 << 20
+
+
+def _token_hash(token: str) -> tuple[int, float]:
+    """(first-4-bytes-of-md5 as uint32, ±1.0 sign from byte 4)."""
+    got = _TOKEN_MEMO.get(token)
+    if got is not None:
+        return got
     h = hashlib.md5(token.encode("utf-8")).digest()
-    idx = int.from_bytes(h[:4], "big") % dim
-    sign = 1.0 if h[4] & 1 else -1.0
-    return idx, sign
+    out = (int.from_bytes(h[:4], "big"), 1.0 if h[4] & 1 else -1.0)
+    if len(_TOKEN_MEMO) < _TOKEN_MEMO_CAP:
+        _TOKEN_MEMO[token] = out
+    return out
+
+
+def _token_slot(token: str, dim: int) -> tuple[int, float]:
+    u32, sign = _token_hash(token)
+    return u32 % dim, sign
 
 
 def dense_embed(text: str, dim: int = 64) -> list[float]:
@@ -155,8 +178,38 @@ class BM25Stats:
 
 def term_id(token: str) -> int:
     """Stable 31-bit term id (sparse vector index)."""
-    h = hashlib.md5(token.encode("utf-8")).digest()
-    return int.from_bytes(h[:4], "big") & 0x7FFFFFFF
+    return _token_hash(token)[0] & 0x7FFFFFFF
+
+
+def embed_doc_hashing(
+    text: str, dim: int, avgdl: float, k1: float = 1.2, b: float = 0.75,
+) -> tuple[list[float], list[int], list[float]]:
+    """One-pass dense + BM25 document encode (r9): tokenize ONCE,
+    aggregate with Counter (C speed), then touch each DISTINCT token
+    once through the md5 memo — the split dense/sparse UDFs tokenized
+    and md5-hashed every token occurrence twice per doc.
+
+    Bit-identical to ``dense_embed`` + ``bm25_encode_document``: the
+    dense slot sums are exact small integers in float64 (adding
+    sign·count equals adding sign count times in any order), the same
+    ``np.linalg.norm`` normalizes, and the BM25 arithmetic is the
+    same expression over the same integer tf."""
+    toks = tokenize(text)
+    dl = len(toks)
+    v = np.zeros(dim, dtype=np.float64)
+    tf: dict[int, int] = {}
+    for tok, c in Counter(toks).items():
+        u32, sign = _token_hash(tok)
+        v[u32 % dim] += sign * c
+        tid = u32 & 0x7FFFFFFF
+        tf[tid] = tf.get(tid, 0) + c
+    n = float(np.linalg.norm(v))
+    if n > 0:
+        v /= n
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    indices = sorted(tf)
+    values = [tf[i] * (k1 + 1.0) / (tf[i] + norm) for i in indices]
+    return v.tolist(), indices, values
 
 
 def fit_bm25(texts) -> BM25Stats:

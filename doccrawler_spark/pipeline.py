@@ -106,36 +106,60 @@ def fit_bm25_distributed(
     near-constant-maximal anyway, so the cap only drops ultra-rare-term
     discrimination, never common-term ranking.
 
-    Single-pass fit (r4): the corpus is tokenized ONCE into a
-    materialized ``(dl, distinct toks)`` projection (the regex
-    tokenizer is the measured hot kernel — the r3 shape ran it twice,
-    once for avgdl and once for the df explode); both the avgdl
-    aggregate and the df groupBy read the small materialized relation
-    (integer + token arrays, a fraction of corpus bytes) instead of
-    re-deriving the scan+tokenize lineage."""
-    toked = chunks.select(Fx.tokens_col("chunked_data").alias("tk"))
-    sel = toked.select(
-        F.size("tk").alias("dl"),
-        F.array_distinct("tk").alias("toks"),
+    Single-pass fit (r9, replacing the r4 two-consumer checkpoint):
+    ONE mapInPandas pass tokenizes each partition in Python (C-speed
+    regex + set) and emits PARTIAL aggregates — one (tok, df) row per
+    distinct token per batch plus one sentinel row carrying the
+    batch's (Σdl, n_docs) — so a single small groupBy finishes both
+    the document frequencies and avgdl.  The r4 shape paid a JVM
+    regex tokenize of the whole corpus into an eagerly-materialized
+    checkpoint and then re-read it twice; the partial-agg rows here
+    are vocabulary-sized, never corpus-sized, and nothing is
+    checkpointed.  Numbers are identical: df still counts documents
+    per token, avgdl is still Σdl/n in double."""
+
+    def _partials(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            df_c: Counter = Counter()
+            total_dl = 0
+            n = 0
+            for t in pdf["chunked_data"]:
+                toks = embed_k.tokenize(t if isinstance(t, str) else "")
+                total_dl += len(toks)
+                n += 1
+                df_c.update(set(toks))
+            rows = [{"tok": k, "df": v, "dl": 0, "n": 0}
+                    for k, v in df_c.items()]
+            rows.append({"tok": None, "df": 0, "dl": total_dl, "n": n})
+            yield pd.DataFrame(rows)
+
+    part = chunks.select("chunked_data").mapInPandas(
+        _partials, "tok string, df long, dl long, n long"
+    )
+    agg = part.groupBy("tok").agg(
+        F.sum("df").alias("df"), F.sum("dl").alias("dl"),
+        F.sum("n").alias("n"),
     ).localCheckpoint(eager=True)
-    stats_row = sel.select(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    # tokens_col never emits empty tokens, so no post-explode filter
-    df_agg = sel.select(F.explode("toks").alias("tok")).groupBy("tok").count()
+    tot = agg.filter(F.col("tok").isNull()).select(
+        F.sum("n").alias("n"), F.sum("dl").alias("dl")).collect()[0]
+    n = int(tot["n"] or 0)
+    avgdl = (tot["dl"] / n) if n else 1.0
     # orderBy+limit compiles to TakeOrderedAndProject: per-partition
     # top-N then a driver merge of N-row heaps — bounded memory
     df_rows = (
-        df_agg.orderBy(F.desc("count"), F.asc("tok")).limit(max_vocab).collect()
+        agg.filter(F.col("tok").isNotNull())
+        .orderBy(F.desc("df"), F.asc("tok")).limit(max_vocab).collect()
     )
     import math
 
-    n = stats_row["n"] or 0
     idf = {
-        embed_k.term_id(r["tok"]): math.log((n - r["count"] + 0.5) / (r["count"] + 0.5) + 1.0)
+        embed_k.term_id(r["tok"]): math.log(
+            (n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
         for r in df_rows
     }
-    return embed_k.BM25Stats(idf, float(stats_row["avgdl"] or 1.0), n)
+    return embed_k.BM25Stats(idf, float(avgdl), n)
 
 
 def _norm_version_field(v):
@@ -200,15 +224,23 @@ def build_vectors(
 ) -> tuple[DataFrame, embed_k.BM25Stats]:
     """chunks → vectors(id, values, sparse, metadata) (X7/X8/X9 + S7).
 
-    BM25 stats are fit once and broadcast (the reference pickle-caches
-    its fitted encoder, load_bm25.py:15-44); dense embeddings come from
-    the named pluggable backend ('hashing' default; 'fastembed' =
-    bge-base-en-v1.5 where installed; register_embed_backend for more).
-    """
+    BM25 stats are fit once; the doc-side encoder needs only
+    (avgdl, k1, b) — closed over the fused UDF as literals, so the idf
+    vocabulary (query-side only) is never shipped to executors.  Dense
+    embeddings come from the named pluggable backend ('hashing'
+    default; 'fastembed' = bge-base-en-v1.5 where installed;
+    register_embed_backend for more).  Both vectors are computed by
+    ONE fused pandas UDF (r9) — one Arrow crossing and one tokenize
+    per doc instead of two (guide §4: fewer boundary crossings, only
+    the needed columns cross)."""
     stats = stats or fit_bm25_distributed(chunks)
-    bc = spark.sparkContext.broadcast(stats.to_dict())
     normalized = normalize_metadata(chunks)
-    out = normalized.withColumn(
-        "values", Fx.dense_embed_udf(dim, embed_backend)(F.col("chunked_data"))
-    ).withColumn("sparse", Fx.bm25_encode_udf(bc)(F.col("chunked_data")))
+    vec = Fx.embed_vectors_udf(
+        dim, stats.avgdl, stats.k1, stats.b, embed_backend
+    )(F.col("chunked_data"))
+    out = normalized.withColumn("_vec", vec).select(
+        "*",
+        F.col("_vec.values").alias("values"),
+        F.col("_vec.sparse").alias("sparse"),
+    ).drop("_vec")
     return out, stats
