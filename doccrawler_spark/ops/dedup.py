@@ -179,10 +179,224 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _ngram_jaccard_prefix(
+    documents: DataFrame, n: int, threshold: float,
+    max_df: int | None, key_fn: str, pair_budget: int | None,
+) -> DataFrame:
+    """Prefix-filtered exact n-gram Jaccard (r9) — the PPJoin/All-Pairs
+    candidate generation (Bayardo et al. 2007, Xiao et al. 2008)
+    applied to the posting-list join.
+
+    The r8 shape joined the FULL capped posting list against itself:
+    at sf1.0 that is 127M candidate join rows aggregated into 114M
+    distinct (doc_a, doc_b) groups for 25 surviving pairs — the
+    aggregation of pairs that can never pass the threshold was ~75% of
+    the operator.  Prefix filtering is the standard exact fix: under
+    any GLOBAL total order on shingles (here: ascending document
+    frequency, ties by key — rarest first), two docs with
+    jaccard ≥ t MUST share a shingle within their first
+    |d| − ⌈t·|d|⌉ + 1 shingles, so only those prefixes enter the
+    self-join.  Because prefixes hold each doc's RAREST shingles, the
+    candidate volume collapses (measured 127M → ~1M join rows at
+    sf1.0).  Survivors are verified EXACTLY: n_common =
+    |array_intersect| of the two docs' capped key arrays — the same
+    count the join+groupBy produced — and the same
+    round-then-threshold filter runs on the same |A|+|B|−|A∩B| union.
+
+    Exactness notes: (1) the intersection is over shingles with
+    2 ≤ df ≤ max_df exactly as before (df=1 shingles cannot be
+    common; df>max_df shingles were excluded from n_common by the
+    capped join — sizes n_a/n_b stay FULL counts, both unchanged);
+    (2) the jaccard ≥ t bound gives n_common ≥ t·max(n_a,n_b) ≥
+    t·|capped|, which is the overlap bound the prefix theorem needs;
+    (3) the prefix length uses floor(t·s + 1e-9) — one element LONGER
+    than the tight ⌈⌉ form whenever t·s is fractional and immune to
+    double-rounding at integer boundaries, so it can only widen the
+    candidate set; (4) the size-ratio prune (jaccard ≤ min/max) is
+    relaxed by a whole unit for the same double-safety reason.
+    ``pair_budget`` guards the PREFIX join's fan-out (the actual join
+    row count this shape generates)."""
+    spark = documents.sparkSession
+    arrays = _materialize(_shingle_key_arrays(documents, n, key_fn))
+    sh = arrays.select(
+        "doc_id", F.size("sk").alias("n_sh"), F.explode("sk").alias("skey")
+    )
+    dfs = sh.groupBy("skey").count()
+    keep = dfs.filter(F.col("count") > 1)
+    if max_df is not None:
+        keep = keep.filter(F.col("count") <= max_df)
+    shk = sh.join(keep, "skey")
+    # per-doc capped key array, globally ordered by (df asc, skey asc)
+    docagg = shk.groupBy("doc_id").agg(
+        F.first("n_sh").alias("n_sh"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("count").alias("df"), F.col("skey")))),
+            lambda s: s["skey"],
+        ).alias("ck"),
+    ).localCheckpoint(eager=True)
+    p_len = F.greatest(
+        F.lit(1),
+        (F.size("ck")
+         - F.floor(F.lit(float(threshold)) * F.size("ck") + F.lit(1e-9))
+         + 1).cast("int"),
+    )
+    post = docagg.select(
+        "doc_id", "n_sh", F.explode(F.slice("ck", F.lit(1), p_len)).alias("skey")
+    )
+    if pair_budget is not None:
+        st = (post.groupBy("skey").count().filter(F.col("count") > 1)
+              .agg(
+                  F.sum(F.col("count").cast("double")
+                        * (F.col("count") - 1).cast("double") / 2)
+                  .alias("pairs"),
+                  F.max("count").alias("hottest"),
+              ).collect()[0])
+        total = int(st["pairs"] or 0)
+        if total > pair_budget:
+            raise ValueError(
+                f"ngram_jaccard_pairs: prefix shingles would generate "
+                f"{total:,} candidate join rows (> pair_budget="
+                f"{pair_budget:,}; hottest prefix shingle df="
+                f"{st['hottest']:,}, max_df={max_df}).  Lower max_df, "
+                f"raise pair_budget, or use the minhash_verified path, "
+                f"whose LSH banding bounds candidates regardless of "
+                f"shingle heat."
+            )
+    post = post.repartition(
+        spark.sparkContext.defaultParallelism, "skey"
+    )
+    a = post.alias("a")
+    b = post.alias("b")
+    t = float(threshold)
+    cand = (
+        a.join(b, (F.col("a.skey") == F.col("b.skey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # jaccard ≤ min/max size-ratio prune, relaxed by 1 so
+               # double rounding can never drop a boundary pair
+               & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh") - 1)
+               & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh") - 1))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    da = docagg.select(F.col("doc_id").alias("doc_a"),
+                       F.col("n_sh").alias("n_a"), F.col("ck").alias("ck_a"))
+    db = docagg.select(F.col("doc_id").alias("doc_b"),
+                       F.col("n_sh").alias("n_b"), F.col("ck").alias("ck_b"))
+    return (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("ck_a", "ck_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _round6_half_up(x):
+    """numpy HALF_UP 6-decimal rounding matching Spark's ``F.round``
+    (np.round is half-to-even — a jaccard of exactly 77/128 =
+    0.6015625 would differ).  floor(x·1e6 + 0.5)/1e6 reproduces
+    BigDecimal HALF_UP for these rationals: exact 7th-decimal halves
+    are dyadic (…/2^7·c) whose ×1e6 product is exactly representable,
+    and non-half values of small-denominator rationals sit ≥ ~2.5e-9
+    from a half boundary — far beyond the ~1e-10 multiply error."""
+    import numpy as np
+
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _ngram_pair_gemm_scorer(threshold: float):
+    """Per-block-pair scorer for the blocked-matmul shape of
+    :func:`ngram_jaccard_pairs` (r9).  Input: the capped posting rows
+    (doc_id, n_sh, skey) of doc-block i (left) and block j (right).
+    Counts |A∩B| for every cross-block doc pair sharing ≥1 kept
+    shingle — the sparse product M_i·M_jᵀ of the doc×shingle
+    incidence matrix, computed with sort + searchsorted + one
+    np.unique over packed LOCAL pair codes (no scipy needed) — and
+    applies the jaccard threshold INSIDE the worker, so only final
+    result rows ever leave Python.  Exactly the counts the join+
+    groupBy shape produced: same capped shingle set, same full sizes,
+    same round-then-threshold filter (HALF_UP, see
+    :func:`_round6_half_up`)."""
+
+    def score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        i, j = int(key[0]), int(key[1])
+        # one grouped frame, split by side tag (0 = left block i,
+        # 1 = right block j); the diagonal ships left rows only
+        lpdf = pdf[pdf["_side"] == 0]
+        rpdf = lpdf if i == j else pdf[pdf["_side"] == 1]
+        empty = pd.DataFrame({
+            "doc_a": lpdf["doc_id"][:0], "doc_b": lpdf["doc_id"][:0],
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        ld = lpdf["doc_id"].to_numpy()
+        rd = rpdf["doc_id"].to_numpy()
+        # local doc indices so the packed pair code never overflows,
+        # whatever the global id range
+        lu, li = np.unique(ld, return_inverse=True)
+        ru, ri = np.unique(rd, return_inverse=True)
+        lns = np.zeros(len(lu), dtype=np.int64)
+        lns[li] = lpdf["n_sh"].to_numpy()
+        rns = np.zeros(len(ru), dtype=np.int64)
+        rns[ri] = rpdf["n_sh"].to_numpy()
+        ls = lpdf["skey"].to_numpy()
+        rs = rpdf["skey"].to_numpy()
+        lo = np.argsort(ls, kind="stable")
+        ls_s, li_s = ls[lo], li[lo]
+        ro = np.argsort(rs, kind="stable")
+        rs_s, ri_s = rs[ro], ri[ro]
+        # each left posting row matches one contiguous right segment
+        seg_lo = np.searchsorted(rs_s, ls_s, side="left")
+        seg_hi = np.searchsorted(rs_s, ls_s, side="right")
+        cnt = seg_hi - seg_lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        # vectorized range expansion: right indices of every match
+        a_idx = np.repeat(li_s, cnt)
+        start = np.cumsum(cnt) - cnt
+        offset = (np.arange(tot) - np.repeat(start, cnt)
+                  + np.repeat(seg_lo, cnt))
+        b_idx = ri_s[offset]
+        code = a_idx.astype(np.int64) * len(ru) + b_idx
+        pc, c = np.unique(code, return_counts=True)
+        ai, bi = pc // len(ru), pc % len(ru)
+        da, db = lu[ai], ru[bi]
+        na, nb = lns[ai], rns[bi]
+        if i == j:
+            m = da < db  # strict order inside a block; drops self-pairs
+            da, db, na, nb, c = da[m], db[m], na[m], nb[m], c[m]
+        jac = _round6_half_up(c / (na + nb - c))
+        m = jac >= threshold
+        da, db, jac = da[m], db[m], jac[m]
+        if i != j:
+            # cross-block orientation is by block id — canonicalize to
+            # doc_a < doc_b by document id
+            lo_ = np.minimum(da, db)
+            hi_ = np.maximum(da, db)
+            da, db = lo_, hi_
+        return pd.DataFrame({"doc_a": da, "doc_b": db, "jaccard": jac})
+
+    return score
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.6,
     max_df: int | None = 2_000, key_fn: str = "md5",
     pair_budget: int | None = 1_000_000_000,
+    shape: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -210,9 +424,45 @@ def ngram_jaccard_pairs(
     posting list computes Σ df·(df−1)/2 — the exact number of join
     rows the surviving shingles will generate — and raises with the
     measured blast radius and the knobs to turn instead of launching
-    a job that cannot finish.  ``None`` disables either guard."""
-    sh = _materialize(_shingle_keys(documents, n, key_fn))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a job that cannot finish.  ``None`` disables either guard.
+
+    ``shape`` picks the physical plan — results identical in all of
+    them: ``'auto'`` (default, r9) runs the blocked-matmul
+    pair-counting shape (:func:`_ngram_pair_gemm_scorer`) whenever the
+    capped posting list is block-replicable (≤ 64M rows, ≤ 4·10⁹ pair
+    contributions) and falls back to the join otherwise; ``'gemm'`` /
+    ``'join'`` force a shape; ``'prefix'`` runs the PPJoin-style
+    prefix-filtered join (:func:`_ngram_jaccard_prefix` — wins on
+    zipfian-df corpora where prefixes hold rare shingles, loses on
+    flat-df corpora where every candidate survives to the verify
+    join).
+
+    Why blocked matmul is the r9 default: the join shape's cost is the
+    pair AGGREGATION — at sf1.0, 127M join rows hash-aggregated into
+    114M distinct (doc_a, doc_b) groups for 25 surviving pairs (~75%
+    of the operator).  n_common for every pair is one sparse product
+    M·Mᵀ of the doc×shingle incidence matrix; computing it per
+    doc-block pair inside Python workers (numpy, threshold applied
+    in-worker) removes the pair shuffle entirely — only final result
+    rows leave the workers.  The posting list is replicated ~B× for
+    B² block pairs (classic blocked-matmul communication trade), so
+    the shape is gated to posting lists where that stays cheap, and
+    B adapts to the measured pair count."""
+    if shape == "prefix":
+        return _ngram_jaccard_prefix(
+            documents, n, threshold, max_df, key_fn, pair_budget
+        )
+    spark = documents.sparkSession
+    # the materialized posting now carries the doc's FULL shingle count
+    # on every row (union sizes for the in-worker jaccard; projected
+    # away wherever unused)
+    sh = _materialize(
+        _shingle_key_arrays(documents, n, key_fn).select(
+            "doc_id", F.size("sk").alias("n_sh"),
+            F.explode("sk").alias("skey"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
     # posting-list prune (result-preserving): a shingle held by a single
     # doc cannot produce a pair — drop it before the self-join.  In a
     # natural corpus most shingles are unique, so this removes most of
@@ -222,24 +472,76 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         df_per_shingle = df_per_shingle.filter(F.col("count") <= max_df)
     shared_df = df_per_shingle.filter(F.col("count") > 1)
-    if pair_budget is not None:
-        st = shared_df.agg(
-            F.sum(
-                F.col("count").cast("double")
-                * (F.col("count") - 1).cast("double") / 2
-            ).alias("pairs"),
-            F.max("count").alias("hottest"),
-        ).collect()[0]
-        total = int(st["pairs"] or 0)
-        if total > pair_budget:
-            raise ValueError(
-                f"ngram_jaccard_pairs: surviving shingles would generate "
-                f"{total:,} candidate join rows (> pair_budget="
-                f"{pair_budget:,}; hottest shingle df={st['hottest']:,}, "
-                f"max_df={max_df}).  Lower max_df, raise pair_budget, or "
-                f"use the minhash_verified path, whose LSH banding bounds "
-                f"candidates regardless of shingle heat."
+    # one tiny aggregate drives the budget guard AND the shape/block
+    # sizing: Σ df·(df−1)/2 is the exact pair-contribution count both
+    # shapes perform, Σ df the capped posting rows the gemm shape
+    # would replicate
+    st = shared_df.agg(
+        F.sum(
+            F.col("count").cast("double")
+            * (F.col("count") - 1).cast("double") / 2
+        ).alias("pairs"),
+        F.max("count").alias("hottest"),
+        F.sum("count").alias("rows"),
+    ).collect()[0]
+    total = int(st["pairs"] or 0)
+    if pair_budget is not None and total > pair_budget:
+        raise ValueError(
+            f"ngram_jaccard_pairs: surviving shingles would generate "
+            f"{total:,} candidate pair contributions (> pair_budget="
+            f"{pair_budget:,}; hottest shingle df={st['hottest']:,}, "
+            f"max_df={max_df}).  Lower max_df, raise pair_budget, or "
+            f"use the minhash_verified path, whose LSH banding bounds "
+            f"candidates regardless of shingle heat."
+        )
+    use_gemm = shape == "gemm" or (
+        shape == "auto"
+        and int(st["rows"] or 0) <= 64_000_000
+        and total <= 4_000_000_000
+    )
+    if use_gemm:
+        cores = spark.sparkContext.defaultParallelism
+        import math as _math
+
+        if total < 4_000_000:
+            n_blocks = 1
+        else:
+            n_blocks = min(64, max(
+                _math.ceil(_math.sqrt(total / 2_000_000)),
+                _math.ceil(_math.sqrt(2 * cores)),
+            ))
+        shk = sh.join(shared_df.select("skey"), "skey", "left_semi").select(
+            "doc_id", "n_sh", "skey",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).alias("_blk"),
+        )
+        if n_blocks > 1:
+            # materialized only when the replication union reads it
+            # twice (re-running the semi-join per side would double the
+            # shuffle); a single block has one consumer
+            shk = _materialize(shk)
+        # one tagged union instead of cogroup: twin children sharing the
+        # checkpointed relation confuse cogroup's attribute
+        # deduplication under downstream pruning; a positional union
+        # has no such hazard and shuffles the same bytes
+        left = shk.select(
+            "doc_id", "n_sh", "skey", F.lit(0).alias("_side"),
+            F.col("_blk").alias("_i"),
+            F.explode(F.sequence(F.col("_blk"),
+                                 F.lit(n_blocks - 1))).alias("_j"),
+        )
+        right = shk.select(
+            "doc_id", "n_sh", "skey", F.lit(1).alias("_side"),
+            F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_i"),
+            F.col("_blk").alias("_j"),
+        ).filter(F.col("_i") < F.col("_j"))  # diagonal uses left only
+        d_t = dict(documents.dtypes)["doc_id"]
+        return (
+            left.unionByName(right).groupBy("_i", "_j")
+            .applyInPandas(
+                _ngram_pair_gemm_scorer(threshold),
+                f"doc_a {d_t}, doc_b {d_t}, jaccard double",
             )
+        )
     shared = shared_df.select("skey")
     # repartition by the join key so the per-shingle quadratic work is
     # spread across tasks (AQE would otherwise coalesce this small
@@ -290,9 +592,14 @@ def minhash_signatures(
     allocations per row).  All intermediates < 2^62, ANSI
     overflow-safe, and the DuckDB oracle replays identical BIGINT
     arithmetic (min over the same key set)."""
-    arrays = _shingle_key_arrays(documents, n, key_fn).filter(
-        F.size("sk") > 0
-    )
+    return _sigs_from_arrays(_shingle_key_arrays(documents, n, key_fn), k)
+
+
+def _sigs_from_arrays(arrays: DataFrame, k: int) -> DataFrame:
+    """Signatures from a (doc_id, sk) shingle-key-array relation —
+    split out (r9) so minhash_verified can derive signatures AND the
+    rescore intersection from ONE materialized tokenize pass."""
+    arrays = arrays.filter(F.size("sk") > 0)
     # b = key mod 2^31-1, materialized as its own column (CSE rule)
     based = arrays.select(
         "doc_id",
@@ -320,10 +627,26 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs whose signatures collide in ≥1 LSH band
     (k/bands rows per band), with the estimated Jaccard = fraction of
     matching minhashes.  shingle→minhash→band→bucket-join."""
-    rows = k // bands
     # signatures feed the singleton-prune AND both self-join sides —
     # materialize once instead of re-deriving tokenize+hash per branch
     sigs = _materialize(minhash_signatures(documents, n, k, key_fn))
+    return _minhash_band_cands(sigs, k, bands).select(
+        "doc_a", "doc_b",
+        F.round(
+            F.size(F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )) / F.lit(float(k)),
+            6,
+        ).alias("est_jaccard"),
+    )
+
+
+def _minhash_band_cands(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """Banded-bucket candidate pairs (doc_a, doc_b, sig_a, sig_b) from
+    a MATERIALIZED signature relation (split out in r9 so the verified
+    path can reuse one tokenize pass)."""
+    rows = k // bands
     banded = sigs.select(
         "doc_id", "sig",
         F.explode(
@@ -357,15 +680,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(float(k))
-    return cand.select(
-        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
-    )
+    return cand
 
 
 def minhash_verified_pairs(
@@ -374,28 +689,31 @@ def minhash_verified_pairs(
 ) -> DataFrame:
     """Production near-dup shape: MinHash-LSH candidate generation
     (recall) + EXACT Jaccard re-scoring of only the candidates
-    (precision).  The rescore joins each candidate pair back to the
-    8-byte shingle-key posting lists — cost ∝ candidates, never
-    all-pairs — and drops estimates below the exact threshold."""
-    cand = minhash_lsh_pairs(documents, n, k, bands, key_fn).select(
-        "doc_a", "doc_b"
-    )
-    sh = _materialize(_shingle_keys(documents, n, key_fn))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "skey")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "skey")
-    common = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "skey"])
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    (precision).  Cost ∝ candidates, never all-pairs.
+
+    r9 restructure: ONE materialized tokenize+hash pass (the shingle
+    key ARRAYS) feeds both the signature derivation and the rescore —
+    the r8 shape ran the full tokenize+md5 lineage twice (once inside
+    minhash_lsh_pairs for signatures, once for the exploded posting
+    list).  The rescore itself is now an ``array_intersect`` of the
+    two docs' key arrays per candidate pair (identical count: arrays
+    are distinct per doc) instead of a double explode-join + groupBy
+    — candidate-bounded work either way, two fewer shuffles."""
+    arrays = _materialize(_shingle_key_arrays(documents, n, key_fn))
+    sigs = _materialize(_sigs_from_arrays(arrays, k))
+    cand = _minhash_band_cands(sigs, k, bands).select("doc_a", "doc_b")
+    aa = arrays.select(F.col("doc_id").alias("doc_a"),
+                       F.col("sk").alias("sk_a"))
+    ab = arrays.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sk").alias("sk_b"))
     return (
-        common.join(za, "doc_a").join(zb, "doc_b")
+        cand.join(aa, "doc_a").join(ab, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sk_a", "sk_b")))
         .withColumn(
             "jaccard",
             F.round(F.col("n_common")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+                    / (F.size("sk_a") + F.size("sk_b") - F.col("n_common")),
+                    6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

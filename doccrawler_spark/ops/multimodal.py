@@ -73,22 +73,45 @@ def extract_features(media: DataFrame, n_features: int = 16) -> DataFrame:
     def run(batches):
         import numpy as np
 
+        cols = ["media_id", "kind", "n_bytes", "sha", "features"]
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload)
-                decoded = decode_image(payload, fake=True)
-                arr = np.frombuffer(decoded, dtype=np.uint8)
-                hist, _ = np.histogram(arr, bins=n_features, range=(0, 256))
-                total = float(hist.sum()) or 1.0
-                out.append({
-                    "media_id": r.media_id,
-                    "kind": r.kind,
-                    "n_bytes": len(payload),
-                    "sha": hashlib.sha256(payload).hexdigest()[:16],
-                    "features": (hist / total).astype("float32").tolist(),
-                })
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            decoded = [decode_image(p, fake=True) for p in payloads]
+            lens = {len(d) for d in decoded}
+            if len(lens) == 1:
+                # batched histogram (r9): the decoded buffers are
+                # fixed-width, so all rows histogram in ONE bincount —
+                # bin index (x·n)//256 equals np.histogram's uniform
+                # left-closed bins for integer x ≤ 255 (the per-row
+                # np.histogram calls dominated this operator)
+                arr = np.frombuffer(b"".join(decoded), dtype=np.uint8)
+                arr = arr.reshape(len(decoded), -1)
+                idx = (arr.astype(np.int64) * n_features) // 256
+                idx += np.arange(len(decoded))[:, None] * n_features
+                hist = np.bincount(
+                    idx.ravel(), minlength=len(decoded) * n_features
+                ).reshape(len(decoded), n_features)
+            else:  # a real decoder may emit variable-length buffers
+                hist = np.stack([
+                    np.histogram(np.frombuffer(d, dtype=np.uint8),
+                                 bins=n_features, range=(0, 256))[0]
+                    for d in decoded
+                ])
+            totals = hist.sum(axis=1).astype(np.float64)
+            totals[totals == 0] = 1.0
+            feats = (hist / totals[:, None]).astype("float32")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "n_bytes": np.fromiter((len(p) for p in payloads),
+                                       dtype=np.int64, count=len(payloads)),
+                "sha": [hashlib.sha256(p).hexdigest()[:16]
+                        for p in payloads],
+                "features": list(feats),
+            })
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, FEATURE_SCHEMA

@@ -53,6 +53,41 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 4) not in pairs
 
 
+def test_ngram_jaccard_shapes_agree(spark):
+    """The r9 blocked-matmul shape (and the prefix-filtered shape) must
+    return results IDENTICAL to the posting-list join on a random
+    corpus with planted near-dups — every threshold, including values
+    where size-ratio and prefix pruning are active."""
+    import random
+
+    from doccrawler_spark.ops.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(2, 30))]
+        rows.append((i, " ".join(toks)))
+        if i % 7 == 0:  # planted near-dup: one token mutated
+            mut = list(toks)
+            if mut:
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def rows_of(df):
+        return [(r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in df.orderBy("doc_a", "doc_b").collect()]
+
+    for thr in (0.3, 0.6):
+        base = rows_of(ngram_jaccard_pairs(docs, threshold=thr, shape="join"))
+        assert len(base) > 0
+        for shape in ("gemm", "prefix", "auto"):
+            got = rows_of(ngram_jaccard_pairs(docs, threshold=thr,
+                                              shape=shape))
+            assert got == base, f"shape={shape} thr={thr}"
+
+
 def test_minhash_lsh_finds_dups(spark, docs):
     from doccrawler_spark.ops.dedup import minhash_lsh_pairs
 
