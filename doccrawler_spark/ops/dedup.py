@@ -23,11 +23,50 @@ def _norm_text(col="text"):
     return F.trim(F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]+", " ")))
 
 
-def exact_dedup(documents: DataFrame) -> DataFrame:
-    """Groups of byte-identical (normalized) docs: keeper + group size."""
+def exact_dedup(documents: DataFrame, impl: str = "arrow") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: keeper + group size.
+
+    ``impl='arrow'`` (r9 default): the normalize+md5 fingerprint — the
+    measured cost of this operator — runs as re.sub + hashlib in
+    Python workers.  The JVM regexp_replace rebuilds the string
+    through Matcher.appendReplacement per doc and measured SLOWER
+    with 32 threads than with one on this allocation pattern (heap
+    contention; the same pathology tokens_col's docstring records),
+    while Python workers are separate processes with a C regex.
+    Byte-identical digests: the replace runs BEFORE lower, so lower/
+    trim only ever see ASCII alnum+space, and md5 is over the same
+    UTF-8 bytes.  ``impl='expr'`` keeps the all-JVM projection."""
+    if impl == "arrow":
+        import re as _re
+
+        d_t = dict(documents.dtypes)["doc_id"]
+        pat = _re.compile(r"[^a-zA-Z0-9]+")
+
+        def run(batches):
+            import hashlib as _hl
+
+            import pandas as pd
+
+            for pdf in batches:
+                fps = [
+                    _hl.md5(
+                        pat.sub(" ", t if isinstance(t, str) else "")
+                        .lower().strip().encode("utf-8")
+                    ).hexdigest()
+                    for t in pdf["text"]
+                ]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                    "fingerprint": fps})
+
+        fp = _fan_out(documents, "doc_id").select(
+            "doc_id", "text"
+        ).mapInPandas(run, f"doc_id {d_t}, fingerprint string")
+    else:
+        fp = documents.select(
+            "doc_id", F.md5(_norm_text()).alias("fingerprint")
+        )
     return (
-        documents.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
-        .groupBy("fingerprint")
+        fp.groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= 1)
     )
@@ -99,8 +138,69 @@ def _opt_barrier(col):
     return F.when(F.monotonically_increasing_id() >= F.lit(-1), col)
 
 
+_BASE_MEMO: dict[str, int] = {}
+_BASE_MEMO_CAP = 1 << 20
+
+
+def _token_base_md5(tok: str) -> int:
+    """The oracle-replayable 31-bit token base:
+    int(md5(tok).hexdigest()[:15], 16) % (2^31-1) — bit-identical to
+    the JVM ``conv(substring(md5(t),1,15),16,10) % 2147483647``.
+    Memoized per worker process (capped): one digest per DISTINCT
+    token ever, against the JVM chain's one digest per occurrence."""
+    b = _BASE_MEMO.get(tok)
+    if b is None:
+        import hashlib
+
+        b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15],
+                16) % _MERSENNE
+        if len(_BASE_MEMO) < _BASE_MEMO_CAP:
+            _BASE_MEMO[tok] = b
+    return b
+
+
+def _shingle_key_arrays_arrow(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sk ARRAY<BIGINT>) — the Arrow form of
+    :func:`_shingle_key_arrays` (md5 key_fn).  Tokens via the same
+    regex as ``tokens_col`` (re.findall('[a-z0-9]+') over the lowered
+    text — token-for-token identical), base via
+    :func:`_token_base_md5`, shingle combine as vectorized int64
+    multiply/XOR over shifted views (products < 2^62, no wrap)."""
+    import re as _re
+
+    consts = _pos_consts(n)
+    d_t = dict(documents.dtypes)["doc_id"]
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            arrays = []
+            for text in pdf["text"]:
+                toks = tok_re.findall(text.lower()) \
+                    if isinstance(text, str) else []
+                if len(toks) < n:
+                    arrays.append(np.empty(0, dtype=np.int64))
+                    continue
+                b = np.fromiter((_token_base_md5(t) for t in toks),
+                                dtype=np.int64, count=len(toks))
+                m = len(toks) - n + 1
+                k = b[:m] * consts[0]
+                for j in range(1, n):
+                    k = np.bitwise_xor(k, b[j:j + m] * consts[j])
+                arrays.append(np.unique(k))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sk": arrays})
+
+    return _fan_out(documents, "doc_id").select("doc_id", "text").mapInPandas(
+        run, f"doc_id {d_t}, sk array<bigint>"
+    )
+
+
 def _shingle_key_arrays(
-    documents: DataFrame, n: int = 3, key_fn: str = "md5"
+    documents: DataFrame, n: int = 3, key_fn: str = "md5",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(doc_id, skey BIGINT) — word-n-gram shingle keys computed WITHOUT
     ever materializing a shingle string.
@@ -119,7 +219,19 @@ def _shingle_key_arrays(
     ``key_fn``: 'md5' (default) keeps the token base oracle-replayable;
     'xxhash64' (bench/scale path) computes the base as a native 64-bit
     digest with NO string allocation at all — same downstream math, not
-    SQL-oracle-replayable (DuckDB lacks xxhash64)."""
+    SQL-oracle-replayable (DuckDB lacks xxhash64).
+
+    The md5 path runs as an Arrow kernel (r9): the JVM expression chain
+    recomputed one md5 digest per token OCCURRENCE (2.7M digests at
+    sf1.0 for a 31-token vocabulary), where the Python worker memoizes
+    the 60-bit base per DISTINCT token and builds each doc's key array
+    with vectorized int64 multiply/xor — identical keys (same digest
+    prefix, same modulus, same positional constants; np.unique's
+    sort-order difference vs array_distinct's first-occurrence order
+    is invisible to every consumer, which aggregates or explodes the
+    set).  ``engine='expr'`` keeps the all-JVM chain."""
+    if key_fn == "md5" and engine == "arrow":
+        return _shingle_key_arrays_arrow(documents, n)
     toked = _fan_out(documents, "doc_id").select(
         "doc_id", tokens_col("text").alias("toks")
     )
@@ -720,8 +832,18 @@ def minhash_verified_pairs(
     )
 
 
-def simhash64(documents: DataFrame) -> DataFrame:
+def simhash64(documents: DataFrame, impl: str = "arrow") -> DataFrame:
     """(doc_id, simhash BIGINT) — 32-bit SimHash over unigram tokens.
+
+    ``impl='arrow'`` (r9 default): the per-bit majority vote runs as a
+    vectorized numpy kernel in an Arrow batch — one md5 per DISTINCT
+    token per worker (the shared kernels.embed memo; the hash is the
+    same first-4-bytes-of-md5 the JVM chain computes), a (tokens×32)
+    bit matrix summed per doc.  The JVM expr path evaluated the
+    32-wide zip_with accumulator through interpreted HOF eval per
+    token (~48M interpreted ops at sf1.0).  Identical results: same
+    distinct-token set, same integer votes, same bit rule.
+    ``impl='expr'`` keeps the all-JVM single-pass aggregate below.
 
     Per-bit majority vote: bit b of md5(token) contributes ±1; the
     sign of the sum sets bit b.  Kept at 32 bits so the whole thing
@@ -742,6 +864,41 @@ def simhash64(documents: DataFrame) -> DataFrame:
     both and to the DuckDB oracle; docs with zero tokens vanish from
     the output in all shapes (explode produced no rows; here an
     explicit size filter)."""
+    if impl == "arrow":
+        import re as _re
+
+        from ..kernels.embed import _token_hash
+
+        d_t = dict(documents.dtypes)["doc_id"]
+        tok_re = _re.compile(r"[a-z0-9]+")
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            bitpos = np.arange(32, dtype=np.int64)
+            for pdf in batches:
+                ids, sims = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks = set(tok_re.findall(text.lower())) \
+                        if isinstance(text, str) else ()
+                    if not toks:
+                        continue  # zero-token docs vanish (expr parity)
+                    h = np.fromiter((_token_hash(t)[0] for t in toks),
+                                    dtype=np.int64, count=len(toks))
+                    cnt = ((h[:, None] >> bitpos) & 1).sum(axis=0)
+                    sim = int(((2 * cnt > len(toks)).astype(np.int64)
+                               << bitpos).sum())
+                    ids.append(doc_id)
+                    sims.append(sim)
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype),
+                    "simhash": pd.Series(sims, dtype="int64"),
+                })
+
+        return _fan_out(documents, "doc_id").select(
+            "doc_id", "text"
+        ).mapInPandas(run, f"doc_id {d_t}, simhash bigint")
     based = _fan_out(documents, "doc_id").select(
         "doc_id", F.array_distinct(tokens_col("text")).alias("toks")
     )

@@ -30,9 +30,24 @@ def _norm(c):
 
 
 def cosine_topk(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    fan_out: bool = True,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k against a literal query vector."""
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    r9: the cosine projection is wrapped in the optimization barrier —
+    PushDownPredicates otherwise inlines the whole interpreted-HOF
+    cosine into the pushed NULL filter, evaluating it TWICE per row
+    (plan-verified: Filter(cond=round(aggregate(...))) below
+    Project(round(aggregate(...)))); the barrier pins one evaluation.
+    ``fan_out`` additionally spreads a small/single-file corpus across
+    cores before the scorer (dedup._fan_out gate: big multi-file
+    inputs pass through untouched); callers feeding already-pruned
+    candidate sets can disable it."""
+    from .dedup import _fan_out, _opt_barrier
+
+    if fan_out:
+        embeddings = _fan_out(embeddings, "vec_id")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = sum(x * x for x in query_vec) ** 0.5
     # try_divide: a zero-norm vector (an empty document's hash
@@ -41,7 +56,7 @@ def cosine_topk(
     cos = F.try_divide(_dot(F.col("embedding"), q),
                        F.lit(qn) * _norm(F.col("embedding")))
     return (
-        embeddings.withColumn("cosine", F.round(cos, 6))
+        embeddings.withColumn("cosine", _opt_barrier(F.round(cos, 6)))
         .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
@@ -90,7 +105,10 @@ def lsh_topk(
     for t in range(n_tables):
         p = sign_bucket(F.col("embedding"), n_bits, t * n_bits) == qkey(t)
         pred = p if pred is None else (pred | p)
-    return cosine_topk(embeddings.filter(pred), query_vec, k)
+    # bucket survivors are design-bounded (~n_tables·n/2^n_bits) — the
+    # fan-out exchange costs more than it spreads (measured r9)
+    return cosine_topk(embeddings.filter(pred), query_vec, k,
+                       fan_out=False)
 
 
 def _argmax_cell(emb_col, centroids: list[list[float]]):
@@ -209,9 +227,18 @@ def ivf_topk(
     qscores = [sum(q * c for q, c in zip(query_vec, cc)) for cc in cents]
     probes = sorted(range(len(cents)), key=lambda j: (-qscores[j], j))[:n_probe]
 
-    celled = embeddings.withColumn("cell", _argmax_cell(F.col("embedding"), cents))
+    # fan out before the (interpreted n_cells-dot) assignment and pin
+    # it above the exchange with the barrier — the probe filter would
+    # otherwise inline the whole argmax into a predicate pushed into
+    # the single-file scan task (r9; same rationale as cosine_topk)
+    from .dedup import _fan_out, _opt_barrier
+
+    celled = _fan_out(embeddings, "vec_id").withColumn(
+        "cell", _opt_barrier(_argmax_cell(F.col("embedding"), cents))
+    )
     return cosine_topk(
-        celled.filter(F.col("cell").isin(probes)), query_vec, k
+        celled.filter(F.col("cell").isin(probes)), query_vec, k,
+        fan_out=False,
     )
 
 
@@ -482,11 +509,13 @@ def ivf_topk_indexed(
     df = _read_partitions(spark, path, [f"cell={j}" for j in probes])
     if df is None:  # probed cells all empty
         return cosine_topk(_read_index_empty(spark, path).drop("cell"),
-                           query_vec, k)
+                           query_vec, k, fan_out=False)
     # belt-and-braces semantic filter (also what PLANS.md asserts as
     # PartitionFilters — the path selection already did the pruning)
     df = df.filter(F.col("cell").isin(probes))
-    return cosine_topk(df.drop("cell"), query_vec, k)
+    # pruned probe-cell read: keep its (already multi-file) scan
+    # layout — the fan-out exchange would only add a shuffle
+    return cosine_topk(df.drop("cell"), query_vec, k, fan_out=False)
 
 
 def write_lsh_index(
@@ -553,14 +582,16 @@ def lsh_topk_indexed(
     if df is None:  # no bucket holds any vector for this query
         emp = _read_index_empty(spark, path)
         return cosine_topk(
-            emp.drop("band", "key").dropDuplicates(["vec_id"]), query_vec, k
+            emp.drop("band", "key").dropDuplicates(["vec_id"]), query_vec, k,
+            fan_out=False,
         )
     pred = None
     for t in range(n_eff):
         p = (F.col("band") == t) & (F.col("key") == qkey(t))
         pred = p if pred is None else (pred | p)
     cand = df.filter(pred).drop("band", "key").dropDuplicates(["vec_id"])
-    return cosine_topk(cand, query_vec, k)
+    # pruned bucket read + dedup shuffle: already spread; no fan-out
+    return cosine_topk(cand, query_vec, k, fan_out=False)
 
 
 def compact_index(spark, path: str, target_bytes: int = 128 << 20) -> dict:
