@@ -369,21 +369,39 @@ def _q_chunk_documents(spark, sf_dir):
     closed form holds for ARBITRARY driver text — an un-sanitized doc
     containing heading/fence markers or leading '#' lines would chunk
     differently than the closed form predicts."""
+    from doccrawler_spark.ops.dedup import _fan_out
     from doccrawler_spark.pipeline import chunk_pages
 
     docs = _doc(spark, sf_dir, "documents")
-    body = F.concat(
-        F.lit("x"),
-        F.trim(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")),
-    )
-    md = F.concat(
-        F.lit("# Guide\n"), body, F.lit("\n## Usage\n"), body
-    )
-    crawled_like = docs.select(
+
+    # markdown synthesis in Python workers (r9): the JVM
+    # regexp_replace form ran in the single-file scan task (and
+    # parallel JVM regex measured slower than one thread — the
+    # exact_dedup pathology), while re.sub in fanned-out workers is a
+    # C regex in separate processes.  Identical strings: the replace
+    # leaves only ASCII alnum+space, so strip()==trim().
+    def _synth(batches):
+        import re as _re
+
+        import pandas as pd
+
+        pat = _re.compile(r"[^a-zA-Z0-9]+")
+        for pdf in batches:
+            body = ["x" + pat.sub(" ", t).strip() for t in pdf["text"]]
+            yield pd.DataFrame({
+                "url": pdf["url"], "site_id": pdf["site_id"],
+                "base_url": pdf["base_url"],
+                "text": [f"# Guide\n{b}\n## Usage\n{b}" for b in body],
+            })
+
+    raw = docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("source").alias("site_id"),
         F.col("source").alias("base_url"),
-        md.alias("text"),
+        "text",
+    )
+    crawled_like = _fan_out(raw, "url").mapInPandas(
+        _synth, "url string, site_id string, base_url string, text string"
     )
     return chunk_pages(crawled_like).select(
         "url", "site_id", "chunk_ix", F.length("chunked_data").alias("chunk_chars"),
@@ -505,8 +523,15 @@ def _q_broadcast_join(spark, sf_dir):
 def _q_anti_join(spark, sf_dir):
     o = _doc(spark, sf_dir, "orders")
     li = _doc(spark, sf_dir, "lineitem")
+    # SHUFFLE_HASH (r9): the planner's BroadcastHashJoin builds and
+    # ships a hash relation over EVERY lineitem key (6M at sf1.0, one
+    # single-threaded ~48 MB build) to drop 17% of a 25 MB orders
+    # table; partition-local hash builds measured 2.6x faster here and
+    # are the scalable anti-join shape when the exclusion side is the
+    # big one (guide §3.1).  Identical results — plan hint only.
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        o.join(li.hint("SHUFFLE_HASH"), o.o_orderkey == li.l_orderkey,
+               "left_anti")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     )

@@ -51,9 +51,15 @@ def chunk_pages(crawled: DataFrame) -> DataFrame:
                          "metadata", "is_summary"]
             )
 
-    return crawled.select("url", "site_id", "base_url", "text").mapInPandas(
-        run, CHUNKS_SCHEMA
-    )
+    # fan out before the Python chunker (r9): a single-file/driver
+    # corpus otherwise runs the whole per-doc chunk loop in ONE task
+    # (measured 2.3 s single-threaded at sf1.0); multi-file crawl
+    # snapshots pass through the gate untouched
+    from .ops.dedup import _fan_out
+
+    return _fan_out(
+        crawled.select("url", "site_id", "base_url", "text"), "url"
+    ).mapInPandas(run, CHUNKS_SCHEMA)
 
 
 def summary_chunks(crawled: DataFrame, top_n: int = 4) -> DataFrame:
@@ -135,7 +141,9 @@ def fit_bm25_distributed(
             rows.append({"tok": None, "df": 0, "dl": total_dl, "n": n})
             yield pd.DataFrame(rows)
 
-    part = chunks.select("chunked_data").mapInPandas(
+    from .ops.dedup import _fan_out
+
+    part = _fan_out(chunks.select("chunked_data")).mapInPandas(
         _partials, "tok string, df long, dl long, n long"
     )
     agg = part.groupBy("tok").agg(
@@ -233,8 +241,13 @@ def build_vectors(
     ONE fused pandas UDF (r9) — one Arrow crossing and one tokenize
     per doc instead of two (guide §4: fewer boundary crossings, only
     the needed columns cross)."""
+    from .ops.dedup import _fan_out
+
     stats = stats or fit_bm25_distributed(chunks)
-    normalized = normalize_metadata(chunks)
+    # fan out before the encoder UDF — same single-task hazard as
+    # chunk_pages (the fused UDF otherwise vectorizes a single-file
+    # corpus on one core)
+    normalized = normalize_metadata(_fan_out(chunks, "url"))
     vec = Fx.embed_vectors_udf(
         dim, stats.avgdl, stats.k1, stats.b, embed_backend
     )(F.col("chunked_data"))
