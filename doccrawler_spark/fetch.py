@@ -151,9 +151,14 @@ def _fetch_one_urllib(url: str, cfg: HttpFetchConfig):
                 return body, int(r.status), None
         except urllib.error.HTTPError as e:  # got a response, bad code
             code = int(e.code)
+            retry_after = e.headers.get("Retry-After")
+            # close the error response NOW: leaving it to GC keeps the
+            # socket open through the (up to max_backoff_s) sleep —
+            # under sustained throttling that accumulates open fds per
+            # executor thread while the per-host slot is held
+            e.close()
             if code in cfg.retry_statuses and attempt < retries:
-                time.sleep(_retry_delay_s(
-                    e.headers.get("Retry-After"), attempt, cfg))
+                time.sleep(_retry_delay_s(retry_after, attempt, cfg))
                 continue
             return None, code, f"http {code}"
         except Exception as e:  # transport: back off, retry, report

@@ -647,8 +647,18 @@ def ngram_jaccard_pairs(
             F.col("_blk").alias("_j"),
         ).filter(F.col("_i") < F.col("_j"))  # diagonal uses left only
         d_t = dict(documents.dtypes)["doc_id"]
+        # pre-partition by the group key with ~2 partitions per block
+        # pair: the groupBy reuses this exact hash partitioning, and an
+        # EXPLICIT repartition is exempt from AQE's size-based
+        # coalescing — which is compute-blind and was merging several
+        # GEMM groups into one fat serial task (measured 4 s → 70 s+
+        # straggler tails when a merged task landed in a steal burst)
+        n_groups = n_blocks * (n_blocks + 1) // 2
+        n_parts = max(cores, 2 * n_groups)
         return (
-            left.unionByName(right).groupBy("_i", "_j")
+            left.unionByName(right)
+            .repartition(n_parts, "_i", "_j")
+            .groupBy("_i", "_j")
             .applyInPandas(
                 _ngram_pair_gemm_scorer(threshold),
                 f"doc_a {d_t}, doc_b {d_t}, jaccard double",
