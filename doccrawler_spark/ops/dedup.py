@@ -159,30 +159,47 @@ def _token_base_md5(tok: str) -> int:
     return b
 
 
-def _shingle_key_arrays_arrow(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, sk ARRAY<BIGINT>) — the Arrow form of
-    :func:`_shingle_key_arrays` (md5 key_fn).  Tokens via the same
+def _shingle_key_arrays_arrow(
+    documents: DataFrame, n: int, sig_k: int = 0
+) -> DataFrame:
+    """(doc_id, sk ARRAY<BIGINT>[, sig ARRAY<BIGINT>]) — the Arrow form
+    of :func:`_shingle_key_arrays` (md5 key_fn).  Tokens via the same
     regex as ``tokens_col`` (re.findall('[a-z0-9]+') over the lowered
     text — token-for-token identical), base via
     :func:`_token_base_md5`, shingle combine as vectorized int64
-    multiply/XOR over shifted views (products < 2^62, no wrap)."""
+    multiply/XOR over shifted views (products < 2^62, no wrap).
+
+    ``sig_k > 0`` additionally emits the k-wide MinHash signature from
+    the SAME pass (r9): sig_i = min((b·(2i+1) + i·C) mod M) over the
+    distinct keys — one (|sk|×k) numpy broadcast per doc, exactly the
+    integer family :func:`minhash_signatures`'s JVM transforms
+    evaluate (all intermediates < 2^36, int64-exact), saving the 16
+    interpreted array_min passes and a second materialization."""
     import re as _re
 
     consts = _pos_consts(n)
     d_t = dict(documents.dtypes)["doc_id"]
     tok_re = _re.compile(r"[a-z0-9]+")
+    schema = f"doc_id {d_t}, sk array<bigint>"
+    if sig_k:
+        schema += ", sig array<bigint>"
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
+        if sig_k:
+            mul = np.arange(sig_k, dtype=np.int64) * 2 + 1
+            add = np.arange(sig_k, dtype=np.int64) * _HASH_C
         for pdf in batches:
             arrays = []
+            sigs = []
             for text in pdf["text"]:
                 toks = tok_re.findall(text.lower()) \
                     if isinstance(text, str) else []
                 if len(toks) < n:
                     arrays.append(np.empty(0, dtype=np.int64))
+                    sigs.append(None)
                     continue
                 b = np.fromiter((_token_base_md5(t) for t in toks),
                                 dtype=np.int64, count=len(toks))
@@ -190,11 +207,20 @@ def _shingle_key_arrays_arrow(documents: DataFrame, n: int) -> DataFrame:
                 k = b[:m] * consts[0]
                 for j in range(1, n):
                     k = np.bitwise_xor(k, b[j:j + m] * consts[j])
-                arrays.append(np.unique(k))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sk": arrays})
+                sk = np.unique(k)
+                arrays.append(sk)
+                if sig_k:
+                    bm = sk % _MERSENNE
+                    sigs.append(
+                        ((bm[:, None] * mul + add) % _MERSENNE).min(axis=0)
+                    )
+            out = {"doc_id": pdf["doc_id"], "sk": arrays}
+            if sig_k:
+                out["sig"] = sigs
+            yield pd.DataFrame(out)
 
     return _fan_out(documents, "doc_id").select("doc_id", "text").mapInPandas(
-        run, f"doc_id {d_t}, sk array<bigint>"
+        run, schema
     )
 
 
@@ -714,6 +740,11 @@ def minhash_signatures(
     allocations per row).  All intermediates < 2^62, ANSI
     overflow-safe, and the DuckDB oracle replays identical BIGINT
     arithmetic (min over the same key set)."""
+    if key_fn == "md5":
+        # fused Arrow pass (r9): keys AND signatures in one kernel
+        return _shingle_key_arrays_arrow(documents, n, sig_k=k).filter(
+            F.size("sk") > 0
+        ).select("doc_id", "sig")
     return _sigs_from_arrays(_shingle_key_arrays(documents, n, key_fn), k)
 
 
@@ -813,16 +844,23 @@ def minhash_verified_pairs(
     (recall) + EXACT Jaccard re-scoring of only the candidates
     (precision).  Cost ∝ candidates, never all-pairs.
 
-    r9 restructure: ONE materialized tokenize+hash pass (the shingle
-    key ARRAYS) feeds both the signature derivation and the rescore —
-    the r8 shape ran the full tokenize+md5 lineage twice (once inside
+    r9 restructure: ONE materialized tokenize+hash pass (the fused
+    Arrow kernel emitting shingle-key arrays AND signatures together)
+    feeds both the banded candidate generation and the rescore — the
+    r8 shape ran the full tokenize+md5 lineage twice (once inside
     minhash_lsh_pairs for signatures, once for the exploded posting
     list).  The rescore itself is now an ``array_intersect`` of the
     two docs' key arrays per candidate pair (identical count: arrays
     are distinct per doc) instead of a double explode-join + groupBy
     — candidate-bounded work either way, two fewer shuffles."""
-    arrays = _materialize(_shingle_key_arrays(documents, n, key_fn))
-    sigs = _materialize(_sigs_from_arrays(arrays, k))
+    if key_fn == "md5":
+        both = _materialize(_shingle_key_arrays_arrow(documents, n,
+                                                      sig_k=k))
+        sigs = both.filter(F.size("sk") > 0).select("doc_id", "sig")
+        arrays = both.select("doc_id", "sk")
+    else:
+        arrays = _materialize(_shingle_key_arrays(documents, n, key_fn))
+        sigs = _materialize(_sigs_from_arrays(arrays, k))
     cand = _minhash_band_cands(sigs, k, bands).select("doc_a", "doc_b")
     aa = arrays.select(F.col("doc_id").alias("doc_a"),
                        F.col("sk").alias("sk_a"))
