@@ -94,8 +94,17 @@ def main() -> None:
     from doccrawler_spark.ops.dedup import embedding_neardup_pairs
 
     sections.append((
-        "Embedding near-dup (banded sign-bit LSH blocking, no all-pairs)",
+        "Embedding near-dup (banded sign-bit LSH buckets scored by the "
+        "per-bucket Arrow-GEMM pair kernel, r9; threshold applied "
+        "in-worker — never all-pairs, no candidate-pair shuffle)",
         plan_of(embedding_neardup_pairs(emb, threshold=0.3)),
+        ["FlatMapGroupsInPandas", "!CartesianProduct",
+         "!BroadcastNestedLoopJoin"],
+    ))
+    sections.append((
+        "  ... expr path of the same operator (retained: banded bucket "
+        "self-join with singleton LeftSemi prune)",
+        plan_of(embedding_neardup_pairs(emb, threshold=0.3, score="expr")),
         ["LeftSemi", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     ))
 
@@ -195,10 +204,24 @@ def main() -> None:
 
     # (the only Exchange allowed is _fan_out's deliberate
     # REPARTITION_BY_NUM input spread — no ENSURE_REQUIREMENTS shuffle
-    # means no groupBy/join exchange anywhere in the operator)
+    # means no groupBy/join exchange anywhere in the operator; r9: the
+    # keys+signature kernel is one fused Arrow stage)
     sections.append((
-        "MinHash signatures (token-digest integer keys, shuffle-free array_min)",
+        "MinHash signatures (fused Arrow keys+signature kernel, "
+        "shuffle-free)",
         plan_of(minhash_signatures(docs)),
+        ["MapInPandas", "!ENSURE_REQUIREMENTS", "!Generate"],
+    ))
+    from doccrawler_spark.ops.dedup import (
+        _shingle_key_arrays,
+        _sigs_from_arrays,
+    )
+
+    sections.append((
+        "  ... expr path of the same operator (retained: token-digest "
+        "integer keys, shuffle-free array_min)",
+        plan_of(_sigs_from_arrays(
+            _shingle_key_arrays(docs, 3, "md5", engine="expr"), 16)),
         ["conv(substring(md5(", "array_min", "!ENSURE_REQUIREMENTS",
          "!Generate"],
     ))
