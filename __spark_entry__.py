@@ -369,10 +369,33 @@ def _q_chunk_documents(spark, sf_dir):
     closed form holds for ARBITRARY driver text — an un-sanitized doc
     containing heading/fence markers or leading '#' lines would chunk
     differently than the closed form predicts."""
-    from doccrawler_spark.ops.dedup import _fan_out
+    from doccrawler_spark.ops.dedup import (
+        _ARROW_MIN_BYTES,
+        _fan_out,
+        _plan_bytes,
+    )
     from doccrawler_spark.pipeline import chunk_pages
 
     docs = _doc(spark, sf_dir, "documents")
+    if _plan_bytes(docs) < _ARROW_MIN_BYTES:
+        # small corpus: the extra Python stage costs more than the
+        # single-task JVM regex it avoids — keep the expr synthesis
+        body = F.concat(
+            F.lit("x"),
+            F.trim(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")),
+        )
+        md = F.concat(
+            F.lit("# Guide\n"), body, F.lit("\n## Usage\n"), body
+        )
+        return chunk_pages(docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("source").alias("site_id"),
+            F.col("source").alias("base_url"),
+            md.alias("text"),
+        )).select(
+            "url", "site_id", "chunk_ix",
+            F.length("chunked_data").alias("chunk_chars"), "is_summary",
+        ).orderBy("url", "chunk_ix")
 
     # markdown synthesis in Python workers (r9): the JVM
     # regexp_replace form ran in the single-file scan task (and

@@ -240,10 +240,11 @@ _VECTOR_SCHEMA = T.StructType([
 def embed_vectors_udf(dim: int, avgdl: float, k1: float = 1.2,
                       b: float = 0.75, backend: str = "hashing"):
     """Fused X7+X8 encoder (r9): ONE pandas UDF computes both the dense
-    hashing embedding and the BM25 sparse vector — one Arrow boundary
-    crossing, one tokenize, one md5 per distinct token (see
-    kernels.embed.embed_doc_hashing) instead of two ArrowEvalPython
-    stages each re-tokenizing and re-hashing the full text.  The doc
+    hashing embedding and the BM25 sparse vector — one tokenize and
+    one md5 per distinct token (see kernels.embed.embed_doc_hashing)
+    where the split UDFs (plan: two pythonUDF expressions batched in
+    one ArrowEvalPython node) each re-tokenized and re-hashed every
+    token occurrence of the full text.  The doc
     side of BM25 needs only (avgdl, k1, b) — plain literals closed
     over the UDF — so the (possibly huge) idf vocabulary is never
     shipped to executors at all (it is query-side only).  Non-hashing

@@ -23,10 +23,33 @@ def _norm_text(col="text"):
     return F.trim(F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]+", " ")))
 
 
-def exact_dedup(documents: DataFrame, impl: str = "arrow") -> DataFrame:
+def _plan_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer size estimate (Long.Max sentinel → huge)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 60
+
+
+# input-size cutoff between the Arrow kernels and the all-JVM expr
+# paths (r9): below it the Python stages' fixed costs (worker
+# dispatch, fan-out exchange, one pandas frame per bucket group)
+# outweigh the per-row win — measured at sf0.1 the expr paths are
+# ~2x faster, at sf1.0 the Arrow paths are 2-7x faster.  Same
+# stats-gate family as _fan_out and knn_join's salted windows.
+_ARROW_MIN_BYTES = 2 << 20
+
+
+def exact_dedup(documents: DataFrame, impl: str = "auto") -> DataFrame:
     """Groups of byte-identical (normalized) docs: keeper + group size.
 
-    ``impl='arrow'`` (r9 default): the normalize+md5 fingerprint — the
+    ``impl='auto'`` (r9 default) picks 'arrow' for inputs past the
+    ``_ARROW_MIN_BYTES`` stats gate, else 'expr' — identical results,
+    different physical plan.
+
+    ``impl='arrow'``: the normalize+md5 fingerprint — the
     measured cost of this operator — runs as re.sub + hashlib in
     Python workers.  The JVM regexp_replace rebuilds the string
     through Matcher.appendReplacement per doc and measured SLOWER
@@ -36,6 +59,9 @@ def exact_dedup(documents: DataFrame, impl: str = "arrow") -> DataFrame:
     Byte-identical digests: the replace runs BEFORE lower, so lower/
     trim only ever see ASCII alnum+space, and md5 is over the same
     UTF-8 bytes.  ``impl='expr'`` keeps the all-JVM projection."""
+    if impl == "auto":
+        impl = "arrow" if _plan_bytes(documents) >= _ARROW_MIN_BYTES \
+            else "expr"
     if impl == "arrow":
         import re as _re
 
@@ -607,20 +633,24 @@ def ngram_jaccard_pairs(
     # the join input; the surviving hot shingles are what AQE's
     # skew-join splitting is for.
     df_per_shingle = sh.groupBy("skey").count()
+    surviving = F.col("count") > 1
     if max_df is not None:
-        df_per_shingle = df_per_shingle.filter(F.col("count") <= max_df)
-    shared_df = df_per_shingle.filter(F.col("count") > 1)
+        surviving = surviving & (F.col("count") <= max_df)
+    shared_df = df_per_shingle.filter(surviving)
     # one tiny aggregate drives the budget guard AND the shape/block
     # sizing: Σ df·(df−1)/2 is the exact pair-contribution count both
     # shapes perform, Σ df the capped posting rows the gemm shape
-    # would replicate
-    st = shared_df.agg(
-        F.sum(
+    # would replicate; hottest is the max over ALL shingles so the
+    # gemm branch can tell whether the stop-shingle cap excludes
+    # anything at all
+    st = df_per_shingle.agg(
+        F.sum(F.when(
+            surviving,
             F.col("count").cast("double")
             * (F.col("count") - 1).cast("double") / 2
-        ).alias("pairs"),
+        )).alias("pairs"),
         F.max("count").alias("hottest"),
-        F.sum("count").alias("rows"),
+        F.sum(F.when(surviving, F.col("count"))).alias("rows"),
     ).collect()[0]
     total = int(st["pairs"] or 0)
     if pair_budget is not None and total > pair_budget:
@@ -648,15 +678,25 @@ def ngram_jaccard_pairs(
                 _math.ceil(_math.sqrt(total / 2_000_000)),
                 _math.ceil(_math.sqrt(2 * cores)),
             ))
-        shk = sh.join(shared_df.select("skey"), "skey", "left_semi").select(
-            "doc_id", "n_sh", "skey",
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).alias("_blk"),
-        )
-        if n_blocks > 1:
-            # materialized only when the replication union reads it
-            # twice (re-running the semi-join per side would double the
-            # shuffle); a single block has one consumer
-            shk = _materialize(shk)
+        blk = F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).alias("_blk")
+        no_hot = max_df is None or int(st["hottest"] or 0) <= max_df
+        if no_hot:
+            # nothing exceeds the stop-shingle cap, so the semi-join
+            # would only strip SINGLETON shingles — and a singleton
+            # can only self-match on a diagonal block, where the
+            # strict doc_a < doc_b mask drops it.  Shipping them is
+            # exact and cheaper than the semi-join + extra
+            # materialization that pruning them costs.
+            shk = sh.select("doc_id", "n_sh", "skey", blk)
+        else:
+            shk = sh.join(
+                shared_df.select("skey"), "skey", "left_semi"
+            ).select("doc_id", "n_sh", "skey", blk)
+            if n_blocks > 1:
+                # materialized only when the replication union reads
+                # it twice (re-running the semi-join per side would
+                # double the shuffle); a single block has one consumer
+                shk = _materialize(shk)
         # one tagged union instead of cogroup: twin children sharing the
         # checkpointed relation confuse cogroup's attribute
         # deduplication under downstream pruning; a positional union
@@ -880,10 +920,13 @@ def minhash_verified_pairs(
     )
 
 
-def simhash64(documents: DataFrame, impl: str = "arrow") -> DataFrame:
+def simhash64(documents: DataFrame, impl: str = "auto") -> DataFrame:
     """(doc_id, simhash BIGINT) — 32-bit SimHash over unigram tokens.
 
-    ``impl='arrow'`` (r9 default): the per-bit majority vote runs as a
+    ``impl='auto'`` (r9 default): 'arrow' past the ``_ARROW_MIN_BYTES``
+    stats gate, else 'expr' — identical results.
+
+    ``impl='arrow'``: the per-bit majority vote runs as a
     vectorized numpy kernel in an Arrow batch — one md5 per DISTINCT
     token per worker (the shared kernels.embed memo; the hash is the
     same first-4-bytes-of-md5 the JVM chain computes), a (tokens×32)
@@ -912,6 +955,9 @@ def simhash64(documents: DataFrame, impl: str = "arrow") -> DataFrame:
     both and to the DuckDB oracle; docs with zero tokens vanish from
     the output in all shapes (explode produced no rows; here an
     explicit size filter)."""
+    if impl == "auto":
+        impl = "arrow" if _plan_bytes(documents) >= _ARROW_MIN_BYTES \
+            else "expr"
     if impl == "arrow":
         import re as _re
 
@@ -1055,7 +1101,7 @@ def _neardup_bucket_scorer(threshold: float):
 
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.95,
-    n_bands: int = 4, band_bits: int = 8, score: str = "arrow",
+    n_bands: int = 4, band_bits: int = 8, score: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold, blocked by banded
     sign-bit LSH buckets — candidate pairs collide in ≥1 of ``n_bands``
@@ -1064,7 +1110,12 @@ def embedding_neardup_pairs(
     LSH recall semantics (a true pair that differs in every band is
     missed — more bands trade compute for recall).
 
-    ``score='arrow'`` (default, r9): each (band,key) bucket is scored
+    ``score='auto'`` (default, r9): 'arrow' past the
+    ``_ARROW_MIN_BYTES`` stats gate (below it, one pandas frame per
+    tiny bucket group costs more than the interpreted cosines it
+    saves), else 'expr' — identical results.
+
+    ``score='arrow'``: each (band,key) bucket is scored
     as ONE chunked numpy float64 GEMM via ``applyInPandas`` — the expr
     path evaluated dot + both norms through Catalyst's INTERPRETED
     higher-order-function eval per candidate pair (~192 interpreted
@@ -1077,6 +1128,9 @@ def embedding_neardup_pairs(
     by ``band_bits`` exactly as before — the scorer materializes one
     bucket's vectors per task.  ``score='expr'`` keeps the all-JVM
     shape."""
+    if score == "auto":
+        score = "arrow" if _plan_bytes(embeddings) >= _ARROW_MIN_BYTES \
+            else "expr"
     if score == "arrow":
         v_t = dict(embeddings.dtypes)["vec_id"]
         banded = embeddings.select(

@@ -238,9 +238,9 @@ def build_vectors(
     embeddings come from the named pluggable backend ('hashing'
     default; 'fastembed' = bge-base-en-v1.5 where installed;
     register_embed_backend for more).  Both vectors are computed by
-    ONE fused pandas UDF (r9) — one Arrow crossing and one tokenize
-    per doc instead of two (guide §4: fewer boundary crossings, only
-    the needed columns cross)."""
+    ONE fused pandas UDF (r9) — one tokenize and one digest per
+    distinct token, where the split UDFs each re-tokenized and
+    re-hashed the text (guide §4.2; only the needed columns cross)."""
     from .ops.dedup import _fan_out
 
     stats = stats or fit_bm25_distributed(chunks)

@@ -95,9 +95,11 @@ def main() -> None:
 
     sections.append((
         "Embedding near-dup (banded sign-bit LSH buckets scored by the "
-        "per-bucket Arrow-GEMM pair kernel, r9; threshold applied "
-        "in-worker — never all-pairs, no candidate-pair shuffle)",
-        plan_of(embedding_neardup_pairs(emb, threshold=0.3)),
+        "per-bucket Arrow-GEMM pair kernel, r9 — the stats-gated "
+        "default above _ARROW_MIN_BYTES; threshold applied in-worker "
+        "— never all-pairs, no candidate-pair shuffle)",
+        plan_of(embedding_neardup_pairs(emb, threshold=0.3,
+                                        score="arrow")),
         ["FlatMapGroupsInPandas", "!CartesianProduct",
          "!BroadcastNestedLoopJoin"],
     ))
